@@ -1,0 +1,275 @@
+"""Deterministic synthetic transcripts generator (FIXTURES.md §1-2).
+
+Builds the primary input table ``(conv_id, turn_idx, role, text, tool, ts)``
+from the driver-provided ``documents.parquet`` at a given sf dir — the doc
+texts seed the payload content, so the table scales with sf without any
+RNG-state or wall-clock dependence: every value is a pure function of
+``doc_id`` via md5.
+
+Payload mix (FIXTURES.md §2): ~40% plain, ~30% html, ~15% pdf_text,
+~10% pdf_digital, ~2.5% pdf_vector, ~2.5% pdf_scanned, ~1-2% malformed.
+Skew: a handful of hot conversations own ~30% of turns (hot-conversation
+skew exercises salting, BASELINE.json:14).
+"""
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .kernels.pdf_mini import (
+    ImageSpec,
+    PageSpec,
+    TextRun,
+    build_pdf,
+    deterministic_bytes,
+)
+
+__all__ = ["generate_transcripts", "transcripts_path", "TRANSCRIPT_SCHEMA"]
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["browser", "pdf_reader", "search"]
+_BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
+
+_NAV_WORDS = "home about products pricing blog careers contact login signup docs".split()
+_FOOTER_WORDS = "privacy terms sitemap support rss twitter github status press legal".split()
+
+
+def _h(*parts) -> int:
+    return int.from_bytes(
+        hashlib.md5(":".join(str(p) for p in parts).encode()).digest()[:8], "big"
+    )
+
+
+def _words_of(text: str) -> list[str]:
+    ws = text.split()
+    return ws if ws else ["lorem"]
+
+
+# ------------------------------------------------------------ payloads ---
+
+def _make_html(doc_id: int, words: list[str]) -> str:
+    nav = " | ".join(
+        f'<a href="/{w}">{w}</a>' for w in _NAV_WORDS[: 6 + _h(doc_id, "nav") % 4]
+    )
+    n = len(words)
+    title = " ".join(words[: min(5, n)])
+    paras = []
+    chunk = max(8, n // 3)
+    for i in range(0, n, chunk):
+        paras.append("<p>" + " ".join(words[i : i + chunk]) + "</p>")
+    footer = " ".join(
+        f'<a href="/f/{w}">{w}</a>' for w in _FOOTER_WORDS[: 5 + _h(doc_id, "ft") % 5]
+    )
+    aside = "<p>" + " ".join(words[: min(12, n)][::-1]) + "</p>"
+    return (
+        "<html><head><title>synthetic page</title>"
+        "<style>body{font:14px sans}</style>"
+        "<script>var x=1;</script></head>"
+        f"<body><header><nav>{nav}</nav></header>"
+        f"<article><h1>{title}</h1>{''.join(paras)}</article>"
+        f"<aside>{aside}</aside>"
+        f"<footer>{footer}</footer></body></html>"
+    )
+
+
+def _text_pages(doc_id: int, words: list[str], min_chars: int = 120) -> list[PageSpec]:
+    """Lay words out as lines of 8 words, 3 lines per block, 2 pages max."""
+    while sum(len(w) + 1 for w in words) < min_chars:
+        words = words + words
+    lines = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
+    pages: list[PageSpec] = []
+    li = 0
+    for _page_no in range(2):
+        if li >= len(lines):
+            break
+        runs: list[TextRun] = []
+        y = 750.0
+        blk = 0
+        while li < len(lines) and y > 60:
+            runs.append(TextRun(x=72.0, y=y, size=10.0, text=lines[li][:80]))
+            li += 1
+            blk += 1
+            if blk % 3 == 0:
+                y -= 30.0  # block gap
+            else:
+                y -= 12.0  # line leading
+        pages.append(PageSpec(text_runs=runs))
+    return pages
+
+
+def _make_pdf_text(doc_id: int, words: list[str]) -> str:
+    return base64.b64encode(build_pdf(_text_pages(doc_id, words))).decode()
+
+
+def _make_pdf_digital(doc_id: int, words: list[str]) -> str:
+    pages = _text_pages(doc_id, words, min_chars=150)[:1]
+    big = deterministic_bytes(f"img:{doc_id}:a", 256)
+    images = [
+        # kept: large photo
+        ImageSpec(x=100, y=400, w=300, h=200, px_w=600, px_h=400, data=big),
+        # duplicate bytes elsewhere on the page -> md5 dedup drop
+        ImageSpec(x=100, y=120, w=150, h=100, px_w=600, px_h=400, data=big),
+        # contained inside the first box -> NMS containment drop
+        ImageSpec(
+            x=150, y=450, w=100, h=80, px_w=400, px_h=320,
+            data=deterministic_bytes(f"img:{doc_id}:b", 200),
+        ),
+        # too small (px area < 100**2) -> min-size drop
+        ImageSpec(
+            x=450, y=600, w=30, h=30, px_w=60, px_h=60,
+            data=deterministic_bytes(f"img:{doc_id}:c", 64),
+        ),
+        # out of bounds -> bounds drop
+        ImageSpec(
+            x=500, y=700, w=200, h=150, px_w=400, px_h=300,
+            data=deterministic_bytes(f"img:{doc_id}:d", 128),
+        ),
+    ]
+    if _h(doc_id, "xtra") % 2 == 0:
+        # heavily-overlapping (not contained) second photo -> NMS overlap drop
+        images.append(
+            ImageSpec(
+                x=110, y=410, w=290, h=195, px_w=580, px_h=390,
+                data=deterministic_bytes(f"img:{doc_id}:e", 220),
+            )
+        )
+    pages[0].images = images
+    return base64.b64encode(build_pdf(pages)).decode()
+
+
+def _make_pdf_vector(doc_id: int) -> str:
+    page = PageSpec(
+        text_runs=[TextRun(x=72, y=760, size=10, text=f"DRAWING {doc_id}")],
+        n_lines=600 + _h(doc_id, "nl") % 100,
+        n_rects=300,
+        n_curves=200,
+    )
+    return base64.b64encode(build_pdf([page])).decode()
+
+
+def _make_pdf_scanned(doc_id: int) -> str:
+    page = PageSpec(
+        text_runs=[TextRun(x=72, y=20, size=8, text=f"scan {doc_id % 97}")],
+        images=[
+            ImageSpec(
+                x=0, y=0, w=612, h=792, px_w=1224, px_h=1584,
+                data=deterministic_bytes(f"scan:{doc_id}", 512),
+            )
+        ],
+    )
+    return base64.b64encode(build_pdf([page])).decode()
+
+
+def _make_malformed(doc_id: int) -> str:
+    v = _h(doc_id, "bad") % 3
+    if v == 0:
+        return ""  # empty payload
+    if v == 1:
+        return "JVBERi0xLj!!corrupt!!"  # pdf prefix, invalid base64
+    # valid base64, %PDF- magic, truncated body -> PdfParseError
+    return base64.b64encode(b"%PDF-1.4\n1 0 obj\n<< trunca").decode()
+
+
+def _payload(doc_id: int, text: str) -> str:
+    u = _h(doc_id, "kind") % 1000
+    words = _words_of(text)
+    if u < 400:
+        return text  # plain
+    if u < 700:
+        return _make_html(doc_id, words)
+    if u < 850:
+        return _make_pdf_text(doc_id, words)
+    if u < 950:
+        return _make_pdf_digital(doc_id, words)
+    if u < 975:
+        return _make_pdf_vector(doc_id)
+    if u < 985:
+        return _make_pdf_scanned(doc_id)
+    return _make_malformed(doc_id)
+
+
+# ------------------------------------------------------------ assembly ---
+
+def generate_transcripts(
+    sf_dir: str,
+    out_path: str | None = None,
+    limit: int | None = None,
+) -> pd.DataFrame:
+    """One turn per document row in ``{sf_dir}/documents.parquet``.
+
+    If ``out_path`` is given, also writes the table as parquet (idempotent:
+    skipped when the file already exists with the same row count).
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    if limit is not None:
+        docs = docs.iloc[:limit]
+    n_docs = len(docs)
+    n_cold = max(1, n_docs // 8)
+
+    doc_ids = docs["doc_id"].to_numpy()
+    conv_ids = []
+    for d in doc_ids:
+        h = _h(d, "conv")
+        if h % 100 < 30:  # 30% of turns land in 4 hot conversations
+            conv_ids.append(f"hotconv{h // 100 % 4:02d}")
+        else:
+            conv_ids.append(f"conv{h // 100 % n_cold:05d}")
+
+    payloads = [
+        _payload(int(d), t) for d, t in zip(doc_ids, docs["text"].astype(str))
+    ]
+    roles = [_ROLES[_h(d, "role") % 3] for d in doc_ids]
+    tools = [
+        _TOOLS[_h(d, "tool") % 3] if r == "tool" else ""
+        for d, r in zip(doc_ids, roles)
+    ]
+
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "doc_id": doc_ids,
+            "role": roles,
+            "text": payloads,
+            "tool": tools,
+        }
+    )
+    # dense 0-based turn_idx per conversation, ordered by doc_id (deterministic)
+    df = df.sort_values(["conv_id", "doc_id"], kind="mergesort").reset_index(drop=True)
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype("int32")
+    # ts monotone within conversation, pure function of turn_idx
+    df["ts"] = _BASE_TS + df["turn_idx"].to_numpy().astype("timedelta64[m]")
+    df = df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+    if out_path is not None:
+        if not os.path.exists(out_path):
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            table = pa.Table.from_pandas(
+                df, schema=TRANSCRIPT_SCHEMA, preserve_index=False
+            )
+            pq.write_table(table, out_path)
+    return df
+
+
+def transcripts_path(sf_dir: str, cache_dir: str = "/tmp/pdf_parser_spark_cache") -> str:
+    """Canonical cache location for a generated transcripts parquet."""
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(cache_dir, f"transcripts_{tag}.parquet")

@@ -1,0 +1,395 @@
+"""Minimal deterministic PDF writer + parser (the "simple subset").
+
+The reference leans on pdfplumber/PyMuPDF/pypdfium2 to open PDFs
+(``pdf_api/core/pdf_analyzer.py:39``, ``pdf_api/core/pdf_image_extractor.py:110``,
+``pdfplumber/smart_pdf_extractor.py:37-38``). Those libraries are not in this
+container and a port is out of scope; instead we define a *simple, fully
+specified subset* of PDF (FIXTURES.md §2: "minimal synthetic PDF … one content
+stream of positioned text runs with bboxes") and implement both sides from
+scratch:
+
+- ``build_pdf(pages)``: emits a syntactically valid PDF 1.4 byte string with
+  a correct xref table, page objects, content streams using only
+  ``BT/Tf/Td/Tj/ET`` text ops, ``m/l/re/S/f/c`` path ops and
+  ``q/cm/Do/Q`` image placements, plus raw ``/Subtype /Image`` XObjects.
+- ``parse_pdf(data)``: tokenizes that subset back into per-page chars (with
+  bboxes AND absolute byte offsets into ``data`` — the span source), image
+  records (bbox + pixel dims + bytes), and vector-drawing counts.
+
+Both sides are pure Python/stdlib, deterministic, and shared by the datagen,
+the golden runner and the Spark UDF kernels.
+
+Geometry contract (fixed, so layout analysis is exact):
+- MediaBox 0 0 612 792 (y-up, PDF convention).
+- Monospace char metric: advance = CHAR_WIDTH_RATIO * fontsize; char bbox
+  height = fontsize, baseline at Td y, top at y + fontsize.
+"""
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+CHAR_WIDTH_RATIO = 0.6
+PAGE_W = 612.0
+PAGE_H = 792.0
+
+_ESC = {"\\": "\\\\", "(": "\\(", ")": "\\)"}
+_UNESC = {"\\\\": "\\", "\\(": "(", "\\)": ")"}
+
+
+# ---------------------------------------------------------------- writer ---
+
+@dataclass
+class TextRun:
+    x: float
+    y: float          # baseline y (PDF y-up)
+    size: float
+    text: str
+
+
+@dataclass
+class ImageSpec:
+    x: float
+    y: float          # lower-left of placement
+    w: float          # placement width (pts)
+    h: float          # placement height (pts)
+    px_w: int         # intrinsic pixel width
+    px_h: int         # intrinsic pixel height
+    data: bytes       # raw payload bytes (opaque; md5-dedup'd downstream)
+
+
+@dataclass
+class PageSpec:
+    text_runs: list[TextRun] = field(default_factory=list)
+    images: list[ImageSpec] = field(default_factory=list)
+    n_lines: int = 0      # emit this many `l` path ops (vector drawings)
+    n_rects: int = 0      # emit this many `re` ops
+    n_curves: int = 0     # emit this many `c` ops
+
+
+def _escape(s: str) -> str:
+    return "".join(_ESC.get(c, c) for c in s)
+
+
+def _fmt(v: float) -> str:
+    # deterministic short float formatting: ints print as ints
+    if float(v).is_integer():
+        return str(int(v))
+    return repr(round(float(v), 4))
+
+
+def _content_stream(page: PageSpec, img_names: list[str]) -> bytes:
+    out: list[str] = []
+    for run in page.text_runs:
+        out.append(
+            f"BT /F1 {_fmt(run.size)} Tf {_fmt(run.x)} {_fmt(run.y)} Td "
+            f"({_escape(run.text)}) Tj ET"
+        )
+    x = 36.0
+    for _ in range(page.n_lines):
+        out.append(f"{_fmt(x)} 100 m {_fmt(x + 8)} 120 l S")
+        x = 36.0 + (x - 30.0) % 540.0
+    for i in range(page.n_rects):
+        out.append(f"{_fmt(40 + (i * 7) % 500)} 200 12 9 re f")
+    for i in range(page.n_curves):
+        out.append(
+            f"{_fmt(40 + (i * 11) % 500)} 300 m "
+            f"{_fmt(50 + (i * 11) % 500)} 310 {_fmt(60 + (i * 11) % 500)} 290 "
+            f"{_fmt(70 + (i * 11) % 500)} 300 c S"
+        )
+    for name, img in zip(img_names, page.images):
+        out.append(
+            f"q {_fmt(img.w)} 0 0 {_fmt(img.h)} {_fmt(img.x)} {_fmt(img.y)} cm "
+            f"/{name} Do Q"
+        )
+    return "\n".join(out).encode("latin-1")
+
+
+def build_pdf(pages: list[PageSpec]) -> bytes:
+    """Serialize pages into a valid single-xref PDF 1.4 byte string."""
+    objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+    page_obj_ids: list[int] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    catalog_id = add(b"")   # placeholder, filled after pages tree known
+    pages_id = add(b"")
+
+    for page in pages:
+        img_ids: list[int] = []
+        img_names: list[str] = []
+        for k, img in enumerate(page.images):
+            name = f"Im{k}"
+            body = (
+                f"<< /Type /XObject /Subtype /Image /Width {img.px_w} "
+                f"/Height {img.px_h} /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                f"/Length {len(img.data)} >>\nstream\n".encode("latin-1")
+                + img.data
+                + b"\nendstream"
+            )
+            img_ids.append(add(body))
+            img_names.append(name)
+        content = _content_stream(page, img_names)
+        content_id = add(
+            f"<< /Length {len(content)} >>\nstream\n".encode("latin-1")
+            + content
+            + b"\nendstream"
+        )
+        xobj = ""
+        if img_ids:
+            refs = " ".join(
+                f"/{n} {i} 0 R" for n, i in zip(img_names, img_ids)
+            )
+            xobj = f" /XObject << {refs} >>"
+        page_id = add(
+            f"<< /Type /Page /Parent {pages_id} 0 R "
+            f"/MediaBox [0 0 {_fmt(PAGE_W)} {_fmt(PAGE_H)}] "
+            f"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+            f"/BaseFont /Courier >> >>{xobj} >> "
+            f"/Contents {content_id} 0 R >>".encode("latin-1")
+        )
+        page_obj_ids.append(page_id)
+
+    kids = " ".join(f"{i} 0 R" for i in page_obj_ids)
+    objs[pages_id - 1] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_obj_ids)} >>"
+    ).encode("latin-1")
+    objs[catalog_id - 1] = (
+        f"<< /Type /Catalog /Pages {pages_id} 0 R >>"
+    ).encode("latin-1")
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{i} 0 obj\n".encode("latin-1") + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode("latin-1")
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode("latin-1")
+    buf += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_id} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------- parser ---
+
+@dataclass
+class ParsedChar:
+    char: str
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    size: float
+    byte_off: int     # absolute offset of this char in the raw PDF bytes
+
+
+@dataclass
+class ParsedImage:
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    px_w: int
+    px_h: int
+    data: bytes
+    img_idx: int
+
+
+@dataclass
+class ParsedPage:
+    chars: list[ParsedChar] = field(default_factory=list)
+    images: list[ParsedImage] = field(default_factory=list)
+    n_lines: int = 0
+    n_rects: int = 0
+    n_curves: int = 0
+    width: float = PAGE_W
+    height: float = PAGE_H
+
+
+@dataclass
+class ParsedDoc:
+    pages: list[ParsedPage] = field(default_factory=list)
+
+
+_OBJ_RE = re.compile(rb"(\d+) 0 obj\n(.*?)\nendobj\n", re.DOTALL)
+_REF_RE = re.compile(rb"/(\w+) (\d+) 0 R")
+_NUM = rb"(-?\d+(?:\.\d+)?)"
+_TEXT_OP = re.compile(
+    rb"BT /F1 " + _NUM + rb" Tf " + _NUM + rb" " + _NUM + rb" Td \(",
+)
+_IMG_OP = re.compile(
+    rb"q " + _NUM + rb" 0 0 " + _NUM + rb" " + _NUM + rb" " + _NUM
+    + rb" cm /(\w+) Do Q"
+)
+
+
+class PdfParseError(ValueError):
+    pass
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    if not objs:
+        raise PdfParseError("no objects")
+    return objs
+
+
+def _obj_spans(data: bytes) -> dict[int, int]:
+    """object id -> absolute offset where its body starts."""
+    spans: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        spans[int(m.group(1))] = m.start(2)
+    return spans
+
+
+def _stream_of(body: bytes) -> bytes:
+    i = body.find(b"stream\n")
+    j = body.rfind(b"\nendstream")
+    if i < 0 or j < 0 or j < i:
+        raise PdfParseError("bad stream")
+    return body[i + len(b"stream\n"): j]
+
+
+def _read_literal(data: bytes, start: int) -> tuple[list[tuple[str, int]], int]:
+    """Read a PDF literal string starting just after '('.
+
+    Returns (list of (char, absolute_byte_offset), index just after ')').
+    Handles the three escapes the writer emits.
+    """
+    out: list[tuple[str, int]] = []
+    i = start
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            out.append((chr(data[i + 1]), i))
+            i += 2
+        elif c == 0x29:  # ')'
+            return out, i + 1
+        else:
+            out.append((chr(c), i))
+            i += 1
+    raise PdfParseError("unterminated literal")
+
+
+def parse_pdf(data: bytes) -> ParsedDoc:
+    """Parse the simple-subset PDF back into chars/images/drawing counts.
+
+    Raises PdfParseError on anything outside the subset (malformed rows feed
+    ``extraction_failure_count`` lineage accounting, BASELINE.json:14).
+    """
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("not a pdf")
+    objs = _parse_objects(data)
+    offs = _obj_spans(data)
+
+    # find the pages tree through the catalog for well-formedness
+    root = None
+    for body in objs.values():
+        if b"/Type /Catalog" in body:
+            root = body
+            break
+    if root is None:
+        raise PdfParseError("no catalog")
+    kids_order: list[int] = []
+    for body in objs.values():
+        if b"/Type /Pages" in body:
+            m = re.search(rb"/Kids \[([^\]]*)\]", body)
+            if m:
+                kids_order = [int(x) for x in re.findall(rb"(\d+) 0 R", m.group(1))]
+            break
+
+    doc = ParsedDoc()
+    for pid in kids_order:
+        body = objs[pid]
+        page = ParsedPage()
+        mb = re.search(rb"/MediaBox \[0 0 " + _NUM + rb" " + _NUM + rb"\]", body)
+        if mb:
+            page.width = float(mb.group(1))
+            page.height = float(mb.group(2))
+        xobj_map: dict[bytes, int] = {}
+        xm = re.search(rb"/XObject << (.*?) >>", body)
+        if xm:
+            for name, oid in _REF_RE.findall(xm.group(1)):
+                xobj_map[name] = int(oid)
+        cm = re.search(rb"/Contents (\d+) 0 R", body)
+        if not cm:
+            raise PdfParseError("page without contents")
+        cid = int(cm.group(1))
+        cbody = objs[cid]
+        stream = _stream_of(cbody)
+        # absolute offset of the stream inside `data`
+        sbase = offs[cid] + cbody.find(b"stream\n") + len(b"stream\n")
+
+        # text runs
+        for m in _TEXT_OP.finditer(stream):
+            size = float(m.group(1))
+            x = float(m.group(2))
+            y = float(m.group(3))
+            chars, _end = _read_literal(stream, m.end())
+            cw = CHAR_WIDTH_RATIO * size
+            for k, (ch, off) in enumerate(chars):
+                page.chars.append(
+                    ParsedChar(
+                        char=ch,
+                        x0=x + k * cw,
+                        y0=y,
+                        x1=x + (k + 1) * cw,
+                        y1=y + size,
+                        size=size,
+                        byte_off=sbase + off,
+                    )
+                )
+        # images
+        for k, m in enumerate(_IMG_OP.finditer(stream)):
+            w = float(m.group(1))
+            h = float(m.group(2))
+            x = float(m.group(3))
+            y = float(m.group(4))
+            name = m.group(5)
+            oid = xobj_map.get(name)
+            if oid is None:
+                raise PdfParseError(f"unknown xobject {name!r}")
+            ibody = objs[oid]
+            pw = re.search(rb"/Width (\d+)", ibody)
+            ph = re.search(rb"/Height (\d+)", ibody)
+            if not pw or not ph:
+                raise PdfParseError("image without dims")
+            page.images.append(
+                ParsedImage(
+                    x0=x, y0=y, x1=x + w, y1=y + h,
+                    px_w=int(pw.group(1)), px_h=int(ph.group(1)),
+                    data=_stream_of(ibody), img_idx=k,
+                )
+            )
+        # vector drawing counts (analog of page.curves/.lines/.rects,
+        # pdf_api/core/pdf_analyzer.py:80-88)
+        page.n_lines = stream.count(b" l S") + stream.count(b" l\n")
+        page.n_rects = len(re.findall(rb" re f", stream)) + len(
+            re.findall(rb" re S", stream)
+        )
+        page.n_curves = stream.count(b" c S") + stream.count(b" c\n")
+        doc.pages.append(page)
+    if not doc.pages:
+        raise PdfParseError("no pages")
+    return doc
+
+
+def deterministic_bytes(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random payload bytes via zlib.crc32 chaining."""
+    out = bytearray()
+    state = zlib.crc32(seed.encode("utf-8"))
+    while len(out) < n:
+        state = zlib.crc32(state.to_bytes(4, "big"))
+        out += state.to_bytes(4, "big")
+    return bytes(out[:n])

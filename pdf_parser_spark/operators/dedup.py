@@ -1,0 +1,221 @@
+"""Corpus-scale deduplication operators over a documents table.
+
+The reference dedups embedded images by MD5 within one file
+(``pdfplumber/smart_pdf_extractor.py:195-254`` — D1) and perceptually within
+one page (D3). A 100 TB training-data pipeline needs the corpus-scale
+versions; each operator here is a `queries()` entry with a DuckDB oracle.
+
+Portability contract for oracles: every hash is **md5-hex**, which DuckDB
+and Spark compute identically for UTF-8 strings; minhash signatures compare
+md5-hex strings lexicographically (min over shingles), so no integer-hash
+divergence between engines can occur.
+
+Scale notes:
+- exact dedup: one shuffle on the digest; Window+row_number (not
+  dropDuplicates) so the survivor is deterministic (first doc_id), matching
+  the reference's first-in-order-wins semantics.
+- minhash-LSH: explode shingles (flatMap — no shuffle), per-doc agg (one
+  shuffle on doc_id), band explode, bucket self-join (shuffle on the band
+  signature — the whole point: candidate pairs only, never the full n²),
+  verified by exact Jaccard on the candidates.
+- skew: identical boilerplate docs make hot LSH buckets; cap bucket width
+  via a count filter (documented drop, logged — "no silent caps").
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+]
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first (lowest id) doc per exact-content md5 (D1 semantics)."""
+    w = Window.partitionBy("content_md5").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("content_md5", F.md5(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct k-word shingles per document.
+
+    Tokenization = split on single spaces (the documents fixture is
+    single-spaced word salad; a real corpus would normalize first).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signature(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc minhash signature: for seed s, min over shingles of
+    md5(s || ':' || shingle) — an md5-hex string, compared lexicographically
+    (identical in any engine)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded minhash-LSH, then exact
+    Jaccard verification on the candidates only.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    ordered. ``max_bucket`` caps pathological buckets (boilerplate floods);
+    capped buckets are dropped, which under-reports — acceptable for LSH
+    recall, and the exact-verify path stays O(candidates).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(docs, text_col, id_col, k)
+    sig = minhash_signature(sh, num_hashes)
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band"),
+    )
+    # cap hot buckets (skew guard); a silent flood would O(n²) one task
+    sizes = stacked.groupBy("band").agg(F.count("*").alias("n"))
+    stacked = stacked.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band"), "band", "inner"
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact Jaccard on candidates only
+    inter = (
+        sh.alias("sa")
+        .join(cand, F.col("sa.id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.id") == F.col("id_b")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(counts.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(counts.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold (the brute-force oracle
+    LSH approximates). Shingle-join keyed on the shingle keeps it far below
+    n² when overlap is sparse; still quadratic in the worst case — use
+    minhash_lsh_pairs at scale."""
+    sh = shingles(docs, text_col, id_col, k)
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(counts.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
+        .join(counts.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens.
+
+    Each token hashes to a ``bits``-wide integer via the first 8 hex chars of
+    md5 (portable); bit b of the simhash is 1 iff the majority of tokens have
+    bit b set. Returns (id, simhash bigint). Hamming-near docs are near-dups.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("h"))
+    per_tok_bits = toks.select(
+        "id",
+        *[
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    agg = per_tok_bits.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)],
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(2 ** b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else (sim + term)
+    return agg.select("id", sim.alias("simhash")).orderBy("id")

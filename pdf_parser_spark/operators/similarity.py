@@ -1,0 +1,125 @@
+"""Embedding similarity search over an array<float> column.
+
+Brute-force cosine top-k is the exact baseline (one pass, no shuffle until
+the top-k sort; the dot product stays JVM-side via higher-order functions —
+F.aggregate/zip_with, no Python). The LSH-bucketed variant is the scale
+path: sign-random-projection buckets shrink the candidate set so a 100 TB
+corpus probes only matching buckets.
+
+Determinism: projection "random" vectors derive from md5 of (plane, dim) —
+no RNG state; identical across engines and runs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_topk", "srp_bucket", "ann_lsh_topk"]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the row with id == query_id.
+
+    The query vector is a one-row broadcast (cross-join of a 1-row side goes
+    BroadcastNestedLoopJoin — no shuffle of the big side); similarity math is
+    whole-stage-codegen'd JVM expressions.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def srp_bucket(vec_col, planes: int, dims: int):
+    """Sign-random-projection bucket id (string of 0/1 bits).
+
+    Plane p's component for dimension d is deterministic in {-1, +1}:
+    sign = +1 iff first hex nibble of md5('p:d') is even.
+    """
+    bits = []
+    for p in range(planes):
+        signs = F.array(
+            *[
+                F.lit(1.0 if int(_md5_nibble(p, d), 16) % 2 == 0 else -1.0)
+                for d in range(dims)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _md5_nibble(p: int, d: int) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's SRP bucket are
+    scored. At 100 TB the bucket column is precomputed+partitioned-by, so a
+    probe reads one partition instead of the corpus (partition pruning)."""
+    bucketed = embeddings.withColumn("bucket", srp_bucket(F.col(vec_col), planes, dims))
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
+    ).filter(F.col(id_col) != query_id)
+    scored = cand.select(
+        F.col(id_col),
+        F.round(
+            _dot(F.col(vec_col), F.col("qvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

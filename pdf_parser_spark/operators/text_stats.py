@@ -1,0 +1,117 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure JVM-side column expressions (whole-stage
+codegen; zero Python) so they run at scan speed over 100 TB.
+
+Portability: every construct has an exact DuckDB-SQL equivalent (the
+oracles) — occurrence counting via length/replace arithmetic, hashes via
+md5-hex prefixes.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "occurrences",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "fingerprint",
+]
+
+# tiny stopword markers per language — a real system uses trained n-gram
+# profiles; the heuristic shape (marker-frequency argmax) is the same.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences via length arithmetic (portable)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def lang_id(text_col: Column) -> Column:
+    """Marker-frequency argmax over the language profiles; 'und' if no hit.
+
+    Deterministic tie-break: languages are checked in fixed order and a
+    strictly-greater score is required to switch, so ties go to the earlier
+    language.
+    """
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    scores = {
+        lang: sum_cols([occurrences(padded, m) for m in markers])
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    best_score = scores[langs[0]]
+    best_lang = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + space ratio + alpha ratio.
+
+    Mirrors the shape of production quality filters (C4/Gopher rules):
+    penalize too-short docs, whitespace floods, and symbol floods.
+    """
+    n = F.length(text_col)
+    spaces = F.length(text_col) - F.length(F.replace(text_col, F.lit(" "), F.lit("")))
+    space_ratio = spaces / F.greatest(n, F.lit(1))
+    len_score = F.when(n >= 200, F.lit(1.0)).when(n >= 50, F.lit(0.6)).otherwise(F.lit(0.2))
+    space_score = F.when(
+        (space_ratio >= 0.08) & (space_ratio <= 0.30), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round((len_score * 0.6 + space_score * 0.4), 6)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + distinct-token count + avg token length."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            (F.length(F.trim(F.col(text_col)))
+             - (F.size(toks) - 1)) / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-independent 48-bit content fingerprint: sum over distinct tokens
+    of md5-prefix ints, mod 2^48. Shuffle-safe (commutative) and portable.
+
+    Near-identical docs (token-set equal) collide; use with simhash for
+    graded similarity.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+    return (
+        toks.select("id", h.alias("h"))
+        .groupBy("id")
+        .agg(F.pmod(F.sum("h"), F.lit(2 ** 48)).cast("long").alias("fingerprint"))
+        .orderBy("id")
+    )

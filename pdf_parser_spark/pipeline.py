@@ -1,0 +1,176 @@
+"""The Spark extraction pipeline (SURVEY.md §3.4 target lifecycle).
+
+    read transcripts (conv_id, turn_idx, role, text, tool, ts)
+      → [resume anti-join — see lineage.py]
+      → salt repartition: hash(conv_id, turn_idx) breaks hot-conversation
+        skew completely because extraction is per-turn (no cross-turn state)
+      → mapInPandas(extract kernel)   — ONE Arrow-batched Python crossing;
+        all per-payload work (sniff, html strip, pdf parse, layout, NMS,
+        dedup) happens inside the batch, JVM↔Python only at batch boundaries
+      → repartitionByRange(conv_id, turn_idx)   (BASELINE.json:14)
+      → window-ordered reassembly: row_number over (conv_id ORDER BY turn_idx)
+      → write + lineage
+
+Scale notes (100 TB / 1000 executors):
+- The only wide exchanges are the salt repartition and the range repartition;
+  both shuffle the *input* rows once and the *extracted* rows once. The
+  extracted rows are much smaller than the raw payloads for html/pdf kinds,
+  and the heavy payload column is dropped before the range shuffle unless the
+  caller asks to keep it.
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` should be lowered
+  (256–1024) when payloads are MBs; see session_defaults().
+- AQE coalesces the post-shuffle partitions when kinds skew small.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import DEFAULT_CONFIG, ExtractConfig
+from .kernels.extract import extract_batch
+
+__all__ = [
+    "SPANS_TYPE",
+    "RESULT_SCHEMA",
+    "session_defaults",
+    "sniff_kind_col",
+    "extract_turns",
+    "reassemble",
+    "run_extraction",
+]
+
+SPANS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+        ]
+    )
+)
+
+TRANSCRIPT_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("payload_kind", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), False),
+        T.StructField("spans", SPANS_TYPE, False),
+        T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("extraction_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def session_defaults(builder, cpus: int | None = None):
+    """Apply the engine's recommended session config to a builder."""
+    b = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # payload rows can be multi-KB..MB; bound Arrow batch memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if cpus:
+        b = b.config("spark.sql.shuffle.partitions", str(max(2, cpus)))
+    return b
+
+
+def sniff_kind_col(text_col: str = "text"):
+    """JVM-side payload-kind sniff (coarse: html/pdf/plain/error).
+
+    Mirrors kernels.extract.sniff_kind so cheap stats/pruning never cross
+    into Python (Catalyst can push/fold this; the fine pdf subtype needs the
+    kernel). 'JVBERi0' is base64('%PDF-').
+    """
+    c = F.ltrim(F.col(text_col))
+    return (
+        F.when(F.col(text_col).isNull() | (F.col(text_col) == ""), F.lit("error"))
+        .when(c.startswith("<"), F.lit("html"))
+        .when(c.startswith("JVBERi0"), F.lit("pdf"))
+        .otherwise(F.lit("plain"))
+    )
+
+
+def _kernel_factory(cfg: ExtractConfig, keep_payload: bool):
+    out_cols = [f.name for f in RESULT_SCHEMA.fields]
+    if keep_payload:
+        out_cols = out_cols + ["text"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = extract_batch(pdf, cfg)
+            yield res[out_cols]
+
+    return kernel
+
+
+def extract_turns(
+    df: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    salt: bool = True,
+    keep_payload: bool = False,
+) -> DataFrame:
+    """transcripts DataFrame → extraction results (unordered).
+
+    ``salt=True`` redistributes rows by hash(conv_id, turn_idx) before the
+    kernel so one hot conversation cannot pin a single task (BASELINE.json:14
+    skew mandate). Extraction is stateless per turn, so full hashing is safe
+    and strictly better than bucket salting here.
+    """
+    if salt:
+        df = df.repartition(F.xxhash64("conv_id", "turn_idx"))
+    schema = RESULT_SCHEMA
+    if keep_payload:
+        schema = T.StructType(
+            RESULT_SCHEMA.fields + [T.StructField("text", T.StringType(), True)]
+        )
+    return df.mapInPandas(_kernel_factory(cfg, keep_payload), schema=schema)
+
+
+def reassemble(extracted: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-repartition + window-ordered reassembly (W1, SURVEY.md §2.6).
+
+    repartitionByRange co-locates each conversation's turns contiguously so
+    the window sort is partition-local after ONE exchange (Catalyst reuses
+    the range exchange's ordering for the window sort — check with
+    .explain(): no extra Exchange between RangePartitioning and Window).
+    """
+    if num_partitions:
+        ranged = extracted.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+    else:
+        ranged = extracted.repartitionByRange("conv_id", "turn_idx")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return ranged.withColumn("turn_seq", F.row_number().over(w))
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Read → extract → reassemble. Write/lineage live in lineage.py."""
+    df = spark.read.schema(TRANSCRIPT_SPARK_SCHEMA).parquet(input_path)
+    return reassemble(extract_turns(df, cfg), num_partitions)

@@ -1,0 +1,164 @@
+"""pdf_mini roundtrip, layout analysis, classification, image pipeline."""
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from pdf_parser_spark.config import DEFAULT_CONFIG
+from pdf_parser_spark.kernels.extract import extract_one
+from pdf_parser_spark.kernels.images import extract_image_records
+from pdf_parser_spark.kernels.layout import layout_page, layout_text_and_offsets
+from pdf_parser_spark.kernels.pdf_classify import classify_pdf, doc_stats
+from pdf_parser_spark.kernels.pdf_mini import (
+    ImageSpec,
+    PageSpec,
+    PdfParseError,
+    TextRun,
+    build_pdf,
+    deterministic_bytes,
+    parse_pdf,
+)
+
+
+def _page_with_text(lines_blocks: list[list[str]], size: float = 10.0) -> PageSpec:
+    runs = []
+    y = 750.0
+    for block in lines_blocks:
+        for line in block:
+            runs.append(TextRun(x=72.0, y=y, size=size, text=line))
+            y -= 12.0
+        y -= 18.0  # extra gap => new block
+    return PageSpec(text_runs=runs)
+
+
+def test_roundtrip_chars():
+    page = _page_with_text([["hello world"], ["second block"]])
+    doc = parse_pdf(build_pdf([page]))
+    assert len(doc.pages) == 1
+    chars = doc.pages[0].chars
+    assert "".join(c.char for c in chars) == "hello worldsecond block"
+    # monospace metric: each char advances 6pt at size 10
+    assert chars[1].x0 - chars[0].x0 == pytest.approx(6.0)
+
+
+def test_roundtrip_escapes():
+    page = PageSpec(text_runs=[TextRun(72, 700, 10, r"a(b)c\d")])
+    doc = parse_pdf(build_pdf([page]))
+    assert "".join(c.char for c in doc.pages[0].chars) == r"a(b)c\d"
+
+
+def test_layout_blocks_and_reading_order():
+    spec = _page_with_text([["line one", "line two"], ["block two"]])
+    page = parse_pdf(build_pdf([spec])).pages[0]
+    blocks = layout_page(page)
+    assert len(blocks) == 2
+    assert blocks[0].text == "line one\nline two"
+    assert blocks[1].text == "block two"
+
+
+def test_layout_two_runs_same_line_get_space():
+    # two Tj runs on one baseline with a gap -> synthetic single space
+    page = PageSpec(
+        text_runs=[TextRun(72, 700, 10, "left"), TextRun(150, 700, 10, "right")]
+    )
+    text, _, n = layout_text_and_offsets(parse_pdf(build_pdf([page])).pages)
+    assert text == "left right"
+    assert n == 1
+
+
+def test_layout_byte_offsets_point_at_chars():
+    page = _page_with_text([["abcdef"]])
+    raw = build_pdf([page])
+    doc = parse_pdf(raw)
+    text, ranges, _ = layout_text_and_offsets(doc.pages)
+    assert text == "abcdef"
+    recovered = b"".join(raw[s:e] for s, e in ranges).decode("latin-1")
+    assert recovered == "abcdef"
+
+
+def test_drawing_counts_and_classification():
+    page = PageSpec(text_runs=[TextRun(72, 700, 10, "x")], n_lines=700, n_rects=200, n_curves=150)
+    doc = parse_pdf(build_pdf([page]))
+    p = doc.pages[0]
+    assert (p.n_lines, p.n_rects, p.n_curves) == (700, 200, 150)
+    stats = doc_stats(doc)
+    assert stats.total_vectors == 1050
+    assert stats.pdf_type == "vector"
+
+
+def test_classify_case_table():
+    # exact reference CASE semantics incl. the ==100 gap (pdf_analyzer.py:118-136)
+    assert classify_pdf(0, 0, 1001) == "vector"
+    assert classify_pdf(0, 0, 1000) == "text"
+    assert classify_pdf(50, 2, 0) == "scanned"
+    assert classify_pdf(101, 2, 0) == "digital"
+    assert classify_pdf(100, 2, 0) == "text"  # the reference's fall-through gap
+    assert classify_pdf(5000, 0, 0) == "text"
+
+
+def test_classification_total_over_kinds():
+    for t in range(0, 300, 37):
+        for i in (0, 1, 5):
+            for v in (0, 500, 1500):
+                assert classify_pdf(t, i, v) in {"vector", "scanned", "digital", "text"}
+
+
+def test_classify_three_page_cap():
+    pages = [_page_with_text([["some text here"]]) for _ in range(5)]
+    pages[4].n_lines = 5000  # beyond the 3-page sample window
+    stats = doc_stats(parse_pdf(build_pdf(pages)))
+    assert stats.total_vectors == 0
+    assert stats.pdf_type == "text"
+
+
+def test_image_pipeline_filters():
+    big = deterministic_bytes("A", 300)
+    page = PageSpec(
+        text_runs=[TextRun(72, 780, 10, "t" * 30)],
+        images=[
+            ImageSpec(100, 400, 300, 200, 600, 400, big),        # kept
+            ImageSpec(100, 100, 150, 100, 600, 400, big),        # dup md5
+            ImageSpec(150, 450, 100, 80, 400, 320, deterministic_bytes("B", 200)),  # contained
+            ImageSpec(450, 600, 30, 30, 60, 60, deterministic_bytes("C", 64)),      # min_size
+            ImageSpec(500, 700, 200, 150, 400, 300, deterministic_bytes("D", 100)), # bounds
+        ],
+    )
+    doc = parse_pdf(build_pdf([page]))
+    recs = extract_image_records(doc.pages)
+    reasons = [r.drop_reason for r in recs]
+    assert [r.kept for r in recs] == [True, False, False, False, False]
+    assert reasons == ["", "duplicate", "nms", "min_size", "bounds"]
+
+
+def test_parse_errors():
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"not a pdf")
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"%PDF-1.4\ntruncated")
+
+
+def test_extract_one_error_paths():
+    assert extract_one("")[0] == "error"
+    assert extract_one(None)[0] == "error"
+    assert extract_one("JVBERi0xLj!!corrupt!!")[0] == "error"
+    truncated = base64.b64encode(b"%PDF-1.4\n1 0 obj\n<< trunca").decode()
+    assert extract_one(truncated)[0] == "error"
+
+
+def test_extract_one_pdf_spans_cover_text_bytes():
+    page = _page_with_text([["alpha beta gamma"]])
+    raw = build_pdf([page])
+    payload = base64.b64encode(raw).decode()
+    kind, text, spans, n_blocks, ok = extract_one(payload)
+    assert kind == "pdf_text" and ok and n_blocks == 1
+    assert text == "alpha beta gamma"
+    # decode the span region: it must contain the literal text bytes
+    covered = "".join(payload[s["start"]:s["end"]] for s in spans)
+    # pad to base64 alignment for decode
+    blob = base64.b64decode(payload)
+    joined = b"".join(
+        blob[(s["start"] // 4) * 3 : (s["end"] // 4) * 3] for s in spans
+    )
+    assert b"alpha beta gamma" in joined
+    assert covered  # non-empty span text
