@@ -1,38 +1,777 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` register every implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing).
+
+Oracle strategy:
+- Relational operators: ANSI SQL over the pre-registered testdata views.
+- Kernel operators (extraction, NMS): the oracle reads a *golden parquet*
+  produced by the single-node pandas runner (the SAME kernel code the Spark
+  UDFs wrap — SURVEY.md §7.1), so the driver's value-hash compare IS the
+  north metric: distributed output == single-node golden, per turn.
+- Hash/float portability: md5-hex everywhere (identical in Spark and
+  DuckDB); money/quantity aggregates in exact integer cents (no float-sum
+  order sensitivity); float similarity scores computed with identical
+  sequential fold order on both sides and rounded to 6 decimals.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import golden as G
+from pdf_parser_spark.functions import pdf_date_parse
+from pdf_parser_spark.operators import dedup, multimodal, nms, similarity, text_stats
+from pdf_parser_spark.operators.text_stats import _LANG_MARKERS
+from pdf_parser_spark.pipeline import run_extraction
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness sf
+SEP = "\x1f"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ===================================================== extraction (kernel) ==
+
+def q_extract_turns_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full pipeline (salt → mapInPandas kernel → range repartition
+    → window reassembly); compared per-turn against the single-node golden."""
+    out = run_extraction(spark, G.ensure_transcripts(sf_dir), num_partitions=16)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "payload_kind",
+        "extracted_text",
+        F.to_json("spans").alias("spans_json"),
+        "n_blocks",
+        "extraction_ok",
+        "turn_seq",
+    )
+
+
+def q_extract_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_extraction(spark, G.ensure_transcripts(sf_dir), num_partitions=16)
+    return out.groupBy("payload_kind").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.length("extracted_text")).cast("long").alias("sum_chars"),
+        F.sum(F.when(F.col("extraction_ok"), 0).otherwise(1)).cast("long").alias("n_fail"),
+    )
+
+
+def q_extract_reassembly_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation md5 over turn-ordered extracted text — any ordering or
+    content divergence anywhere in the conversation flips the digest."""
+    out = run_extraction(spark, G.ensure_transcripts(sf_dir), num_partitions=16)
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("turn_seq"), F.col("extracted_text")))),
+        lambda s: s["extracted_text"],
+    )
+    return out.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.max("turn_seq").cast("long").alias("max_seq"),
+        F.md5(F.concat_ws(SEP, ordered_texts)).alias("digest"),
+    )
+
+
+def q_d4_nms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-largest NMS (D4) via applyInPandas vs the numpy golden."""
+    boxes = spark.read.parquet(G.ensure_nms_boxes(sf_dir))
+    return nms.nms_filter(boxes).select("doc_id", "page", "img_idx", "kept")
+
+
+# ======================================================== relational parity ==
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (A1/A2 scan→filter→agg) in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    base = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    tax = _cents(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(base).cast("long").alias("sum_base_cents"),
+            F.sum(base * (100 - disc)).cast("long").alias("sum_disc_e4"),
+            F.sum(base * (100 - disc) * (100 + tax)).cast("long").alias("sum_charge_e6"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k (J5 broadcast on the small dim side)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    rev = F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(rev.cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.sum(_cents(F.col("s_acctbal"))).cast("long").alias("acctbal_cents"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_a2_first3_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's limit-before-aggregate sampling (first 3 pages ≙ first
+    3 line numbers — ``pdf_api/core/pdf_analyzer.py:66``)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 3)
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
+def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way CASE classification over aggregated counts (A3 shape —
+    ``pdf_api/core/pdf_analyzer.py:118-139``)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+    )
+    klass = (
+        F.when(F.col("n_events") > 70, F.lit("power"))
+        .when((F.col("n_purchase") > 15) & (F.col("n_view") < 12), F.lit("buyer"))
+        .when(F.col("n_purchase") > 15, F.lit("engaged"))
+        .otherwise(F.lit("casual"))
+    )
+    return (
+        per_user.select(klass.alias("user_class"))
+        .groupBy("user_class")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("user_class")
+    )
+
+
+def q_a7_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual width_bucket histogram (A7 — ``smart_pdf_extractor.py:391-409``)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 200, F.lit("small(<200)"))
+        .when(F.col("n_chars") <= 400, F.lit("medium(200-400)"))
+        .otherwise(F.lit("large(>400)"))
+    )
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_w3_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number()==1 first-occurrence dedup (W3/D1 ordering semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id")
+        .orderBy("event_type")
+    )
+
+
+def q_o3_top5_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (O1/O3)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+    )
+
+
+def q_j1_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range theta self-join (J1 — ``_is_overlap`` as a join pred)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", F.col("value").alias("v"))
+    a, b = ev.alias("a"), ev.alias("b")
+    cond = (
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("a.v") <= F.col("b.v") + 5)
+        & (F.col("b.v") <= F.col("a.v") + 5)
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("event_type")
+    )
+
+
+def q_x2_pdf_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 'D:YYYYMMDDHHmmSS' date parse (X2)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        F.concat(F.lit("D:"), F.date_format("ts", "yyyyMMddHHmmss")).alias("pdf_date"),
+    )
+    return d.select(
+        "event_id",
+        "pdf_date",
+        F.date_format(pdf_date_parse(F.col("pdf_date")), "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+    )
+
+
+# ============================================================ dedup suite ==
+
+def _doubled_docs(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """documents ∪ shifted copies (exact or 15-char-truncated) — guarantees
+    the dedup/near-dup operators have real positives to find."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if exact:
+        copy = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    else:
+        copy = docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+        )
+    return docs.unionByName(copy)
+
+
+def q_d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.exact_dedup(_doubled_docs(spark, sf_dir, exact=True))
+        .select("doc_id", "content_md5")
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _doubled_docs(spark, sf_dir, exact=False),
+        k=3, num_hashes=8, bands=4, jaccard_threshold=0.6, max_bucket=50,
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _doubled_docs(spark, sf_dir, exact=False), k=3, threshold=0.5
+    )
+
+
+def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def q_fingerprint48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================== text analysis ==
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(text_stats.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = text_stats.quality_score(F.col("text"))
+    return (
+        docs.select("source", F.round(q * 1000000).cast("long").alias("q_micro"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("q_micro").cast("long").alias("quality_micro_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# ============================================================== similarity ==
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def q_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(similarity.srp_bucket(F.col("embedding"), planes=4, dims=64).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, planes=4, dims=64
+    )
+
+
+# =============================================================== multimodal ==
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = multimodal.media_features(multimodal.as_media_table(docs))
+    return feats.select("media_id", "n_bytes", "content_md5", "width", "height")
+
+
+# ============================================================== registries ==
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_turns_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_turns_full": q_extract_turns_full,
+        "extract_kind_stats": q_extract_kind_stats,
+        "extract_reassembly_digest": q_extract_reassembly_digest,
+        "d4_nms_filter": q_d4_nms_filter,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_orders": q_q3_top_orders,
+        "region_supplier_rollup": q_region_supplier_rollup,
+        "a2_first3_totals": q_a2_first3_totals,
+        "a3_classification": q_a3_classification,
+        "a7_size_buckets": q_a7_size_buckets,
+        "w3_first_occurrence": q_w3_first_occurrence,
+        "o3_top5_docs": q_o3_top5_docs,
+        "j1_overlap_pairs": q_j1_overlap_pairs,
+        "x2_pdf_date_roundtrip": q_x2_pdf_date_roundtrip,
+        "d1_exact_dedup": q_d1_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash32": q_simhash32,
+        "fingerprint48": q_fingerprint48,
+        "token_stats": q_token_stats,
+        "lang_id_histogram": q_lang_id_histogram,
+        "quality_by_source": q_quality_by_source,
+        "cosine_topk": q_cosine_topk,
+        "srp_bucket_histogram": q_srp_bucket_histogram,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------- oracle SQL builders
+
+def _golden_path() -> str:
+    return G.ensure_golden(ORACLE_SF_DIR)
+
+
+def _nms_golden_path() -> str:
+    return G.ensure_nms_golden(ORACLE_SF_DIR)
+
+
+_DOUBLED_EXACT = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+)
+_DOUBLED_TRUNC = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, substr(text, 1, length(text) - 15) AS text "
+    "FROM documents"
+)
+
+_SHINGLE_CTES = """
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM docs2),
+sh AS (
+  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS u(i)
+  WHERE length(array_to_string(w[i:i+2], ' ')) > 0
+)
+"""
+
+
+def _minhash_sql() -> str:
+    mh = ",\n    ".join(f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(8))
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, '{b}|' || mh{2 * b} || '|' || mh{2 * b + 1} AS band FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH docs2 AS ({_DOUBLED_TRUNC}),
+{_SHINGLE_CTES},
+sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+stacked AS (
+  {bands}
+),
+ok_bands AS (SELECT band FROM stacked GROUP BY band HAVING count(*) <= 50),
+st2 AS (SELECT s.* FROM stacked s JOIN ok_bands USING (band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM st2 a JOIN st2 b USING (band) WHERE a.id < b.id
+),
+inter AS (
+  SELECT id_a, id_b, count(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.id = id_a
+  JOIN sh sb ON sb.id = id_b AND sa.shingle = sb.shingle
+  GROUP BY id_a, id_b
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+SELECT id_a, id_b, round(i / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
+WHERE round(i / (ca.n_sh + cb.n_sh - i), 6) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def _ngram_sql() -> str:
+    return f"""
+WITH docs2 AS ({_DOUBLED_TRUNC}),
+{_SHINGLE_CTES},
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+SELECT id_a, id_b, round(i / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
+WHERE round(i / (ca.n_sh + cb.n_sh - i), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n    ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(bits))
+    terms = " + ".join(
+        f"(CASE WHEN s{b} * 2 > n THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE length(tok) > 0
+),
+h AS (SELECT id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+agg AS (SELECT id, count(*) AS n,
+    {sums}
+  FROM h GROUP BY id)
+SELECT id, CAST({terms} AS BIGINT) AS simhash FROM agg ORDER BY id
+"""
+
+
+def _fingerprint_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE length(tok) > 0
+),
+h AS (SELECT id, CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS hv FROM toks)
+SELECT id, CAST(sum(hv) % 281474976710656 AS BIGINT) AS fingerprint
+FROM h GROUP BY id ORDER BY id
+"""
+
+
+def _lang_sql() -> str:
+    def score(markers: list[str]) -> str:
+        return " + ".join(
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INTEGER)"
+            for m in markers
+        )
+
+    s_cols = ",\n    ".join(
+        f"{score(ms)} AS s_{lang}" for lang, ms in _LANG_MARKERS.items()
+    )
+    return f"""
+WITH p AS (SELECT ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT {s_cols} FROM p),
+c AS (
+  SELECT CASE
+    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+    WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
+    WHEN s_de > greatest(s_en, s_es) THEN 'de'
+    WHEN s_es > s_en THEN 'es'
+    ELSE 'en' END AS lang_pred
+  FROM s)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def _dot_sql(a: str, b: str, dims: int) -> str:
+    prods = (
+        f"list_transform(range(1, {dims + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return f"list_reduce(list_prepend(0.0, {prods}), (acc, v) -> acc + v)"
+
+
+def _norm_sql(a: str) -> str:
+    sq = f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return f"sqrt(list_reduce(list_prepend(0.0, {sq}), (acc, v) -> acc + v))"
+
+
+def _cosine_sql() -> str:
+    cos = (
+        f"round({_dot_sql('embedding', 'qvec', 64)} / "
+        f"({_norm_sql('embedding')} * {_norm_sql('qvec')}), 6)"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {cos} AS cosine
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _srp_bits_sql(vec: str, planes: int, dims: int) -> str:
+    from pdf_parser_spark.operators.similarity import _md5_nibble
+
+    bit_exprs = []
+    for p in range(planes):
+        terms = ", ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * "
+            f"{'1.0' if int(_md5_nibble(p, d), 16) % 2 == 0 else '-1.0'}"
+            for d in range(dims)
+        )
+        fold = f"list_reduce(list_prepend(0.0, [{terms}]), (acc, v) -> acc + v)"
+        bit_exprs.append(f"(CASE WHEN {fold} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bit_exprs)
+
+
+def _srp_hist_sql() -> str:
+    return f"""
+WITH b AS (SELECT {_srp_bits_sql('embedding', 4, 64)} AS bucket FROM embeddings)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _ann_lsh_sql() -> str:
+    cos = (
+        f"round({_dot_sql('embedding', 'qvec', 64)} / "
+        f"({_norm_sql('embedding')} * {_norm_sql('qvec')}), 6)"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_srp_bits_sql('embedding', 4, 64)} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, {cos} AS cosine
+FROM b, q
+WHERE bucket = qbucket AND vec_id != 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    golden = _golden_path()
+    nms_golden = _nms_golden_path()
+    return {
+        "extract_turns_full": f"""
+            SELECT conv_id, turn_idx, role, tool, payload_kind, extracted_text,
+                   spans_json, n_blocks, extraction_ok, turn_seq
+            FROM '{golden}'
+        """,
+        "extract_kind_stats": f"""
+            SELECT payload_kind,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(extracted_text)) AS BIGINT) AS sum_chars,
+                   CAST(sum(CASE WHEN extraction_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+            FROM '{golden}' GROUP BY payload_kind
+        """,
+        "extract_reassembly_digest": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(max(turn_seq) AS BIGINT) AS max_seq,
+                   md5(string_agg(extracted_text, chr(31) ORDER BY turn_seq)) AS digest
+            FROM '{golden}' GROUP BY conv_id
+        """,
+        "d4_nms_filter": f"SELECT doc_id, page, img_idx, kept FROM '{nms_golden}'",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey
+            ORDER BY revenue_e4 DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "region_supplier_rollup": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "a2_first3_totals": """
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_orderkey
+        """,
+        "a3_classification": """
+            WITH per_user AS (
+              SELECT user_id, count(*) AS n_events,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+              FROM events GROUP BY user_id
+            ),
+            c AS (
+              SELECT CASE
+                WHEN n_events > 70 THEN 'power'
+                WHEN n_purchase > 15 AND n_view < 12 THEN 'buyer'
+                WHEN n_purchase > 15 THEN 'engaged'
+                ELSE 'casual' END AS user_class
+              FROM per_user)
+            SELECT user_class, CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY user_class ORDER BY user_class
+        """,
+        "a7_size_buckets": """
+            WITH b AS (
+              SELECT CASE WHEN n_chars < 200 THEN 'small(<200)'
+                          WHEN n_chars <= 400 THEN 'medium(200-400)'
+                          ELSE 'large(>400)' END AS bucket
+              FROM documents)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "w3_first_occurrence": """
+            SELECT event_type, event_id FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1 ORDER BY event_type
+        """,
+        "o3_top5_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+        """,
+        "j1_overlap_pairs": """
+            SELECT a.event_type AS event_type, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND a.value <= b.value + 5
+             AND b.value <= a.value + 5
+            GROUP BY a.event_type ORDER BY event_type
+        """,
+        "x2_pdf_date_roundtrip": """
+            WITH d AS (
+              SELECT event_id, 'D:' || strftime(ts, '%Y%m%d%H%M%S') AS pdf_date FROM events)
+            SELECT event_id, pdf_date,
+                   strftime(strptime(substr(pdf_date, 3, 14), '%Y%m%d%H%M%S'),
+                            '%Y-%m-%d %H:%M:%S') AS parsed
+            FROM d
+        """,
+        "d1_exact_dedup": f"""
+            WITH docs2 AS ({_DOUBLED_EXACT}),
+            d AS (
+              SELECT doc_id, md5(text) AS content_md5,
+                     row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM docs2)
+            SELECT doc_id, content_md5 FROM d WHERE rn = 1 ORDER BY doc_id
+        """,
+        "minhash_lsh_pairs": _minhash_sql(),
+        "ngram_jaccard_pairs": _ngram_sql(),
+        "simhash32": _simhash_sql(32),
+        "fingerprint48": _fingerprint_sql(),
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS INTEGER)
+                     AS n_distinct_tokens,
+                   round((length(trim(text))
+                          - (len(string_split_regex(trim(text), ' +')) - 1))
+                         / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
+                     AS avg_token_len
+            FROM documents
+        """,
+        "lang_id_histogram": _lang_sql(),
+        "quality_by_source": """
+            WITH q AS (
+              SELECT source,
+                CASE WHEN length(text) >= 200 THEN 1.0
+                     WHEN length(text) >= 50 THEN 0.6 ELSE 0.2 END AS len_score,
+                (length(text) - length(replace(text, ' ', '')))
+                  / greatest(length(text), 1) AS space_ratio
+              FROM documents),
+            q2 AS (
+              SELECT source,
+                round(len_score * 0.6
+                      + (CASE WHEN space_ratio >= 0.08 AND space_ratio <= 0.30
+                              THEN 1.0 ELSE 0.5 END) * 0.4, 6) AS quality
+              FROM q)
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+                     AS quality_micro_sum
+            FROM q2 GROUP BY source ORDER BY source
+        """,
+        "cosine_topk": _cosine_sql(),
+        "srp_bucket_histogram": _srp_hist_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "media_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   md5(text) AS content_md5,
+                   CAST(16 + (octet_length(encode(text)) % 48) AS INTEGER) AS width,
+                   CAST(16 + ((octet_length(encode(text)) // 7) % 48) AS INTEGER) AS height
+            FROM documents
+        """,
+    }

@@ -1,0 +1,197 @@
+"""Single-node golden runner + deterministic artifact cache.
+
+Produces, for a given sf dir (TESTDATA.md):
+
+- ``transcripts_<tag>.parquet``  — the synthetic input table (datagen)
+- ``golden_<tag>.parquet``       — the golden extraction output, computed by
+  calling the SAME kernel (kernels.extract.extract_batch) single-node in
+  pandas, with the window-reassembly ordering (turn_seq) and a JSON-encoded
+  spans column matching Spark's ``F.to_json`` byte format.
+
+The golden parquet doubles as the DuckDB oracle source for the extraction
+queries in ``__spark_entry__.py``: DuckDB reads it by path, so the driver's
+value-hash compares Spark's distributed output against the single-node
+golden — exactly the north metric (BASELINE.json:2), run by the driver.
+
+All writes are atomic (tmp + os.replace) so concurrent callers (Spark query
+and oracle harness) can race safely; content is a pure function of the sf
+dir, so a winner-takes-all replace is correct.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .datagen import TRANSCRIPT_SCHEMA, generate_transcripts
+from .kernels.extract import extract_batch
+from .kernels.geometry import nms_keep_mask
+
+__all__ = [
+    "CACHE_DIR",
+    "sf_tag",
+    "ensure_transcripts",
+    "ensure_golden",
+    "ensure_nms_boxes",
+    "ensure_nms_golden",
+    "spans_to_json",
+]
+
+CACHE_DIR = os.environ.get("PDF_PARSER_SPARK_CACHE", "/tmp/pdf_parser_spark_cache")
+
+GOLDEN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("payload_kind", pa.string()),
+        ("extracted_text", pa.string()),
+        ("spans_json", pa.string()),
+        ("n_blocks", pa.int32()),
+        ("extraction_ok", pa.bool_()),
+        ("turn_seq", pa.int32()),
+    ]
+)
+
+
+def sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")) or "sf"
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def spans_to_json(spans: list[dict]) -> str:
+    """Byte-identical to Spark's F.to_json(array<struct<start,end>>)."""
+    return json.dumps(
+        [{"start": int(r["start"]), "end": int(r["end"])} for r in spans],
+        separators=(",", ":"),
+    )
+
+
+def ensure_transcripts(sf_dir: str) -> str:
+    """Generate-and-cache the transcripts parquet for an sf dir."""
+    path = os.path.join(CACHE_DIR, f"transcripts_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        df = generate_transcripts(sf_dir)
+        _atomic_write(
+            pa.Table.from_pandas(df, schema=TRANSCRIPT_SCHEMA, preserve_index=False),
+            path,
+        )
+    return path
+
+
+def ensure_golden(sf_dir: str) -> str:
+    """Run the single-node golden extractor; cache the result parquet."""
+    path = os.path.join(CACHE_DIR, f"golden_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        df = generate_transcripts(sf_dir)
+        g = extract_batch(df)
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g["turn_seq"] = (g.groupby("conv_id").cumcount() + 1).astype("int32")
+        g["spans_json"] = [spans_to_json(s) for s in g["spans"]]
+        g = g[[f.name for f in GOLDEN_SCHEMA]]
+        _atomic_write(
+            pa.Table.from_pandas(g, schema=GOLDEN_SCHEMA, preserve_index=False), path
+        )
+    return path
+
+
+# ----------------------------------------------------------- NMS fixture ---
+
+NMS_BOX_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("page", pa.int64()),
+        ("img_idx", pa.int64()),
+        ("x0", pa.float64()),
+        ("y0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y1", pa.float64()),
+        ("px_w", pa.int64()),
+        ("px_h", pa.int64()),
+    ]
+)
+
+
+def _nms_boxes_pdf(sf_dir: str, cap: int = 600) -> pd.DataFrame:
+    """Deterministic bbox table derived from part.parquet p_partkey.
+
+    Coordinates are pure md5 functions of the key; clustered into ~60 docs ×
+    3 pages so groups hold ~3-4 boxes with frequent overlaps and some
+    sub-min_size pixel areas (the D4/F2 decision space).
+    """
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+    ).to_pandas()
+    keys = sorted(int(k) for k in part["p_partkey"].tolist())[:cap]
+    rows = []
+    for pk in keys:
+        d = hashlib.md5(f"nmsbox:{pk}".encode()).digest()
+        x0 = float(d[0] % 200) * 2.0
+        y0 = float(d[1] % 200) * 3.0
+        w = 40.0 + float(d[2])
+        h = 40.0 + float(d[3])
+        px_w = 60 + int.from_bytes(d[4:6], "big") % 600
+        px_h = 60 + int.from_bytes(d[6:8], "big") % 600
+        rows.append((pk % 60, pk % 3, pk, x0, y0, x0 + w, y0 + h, px_w, px_h))
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "page", "p_partkey", "x0", "y0", "x1", "y1", "px_w", "px_h"]
+    )
+    df = df.sort_values(["doc_id", "page", "p_partkey"], kind="mergesort").reset_index(
+        drop=True
+    )
+    df["img_idx"] = df.groupby(["doc_id", "page"]).cumcount().astype("int64")
+    return df[[f.name for f in NMS_BOX_SCHEMA]].astype(
+        {"doc_id": "int64", "page": "int64"}
+    )
+
+
+def ensure_nms_boxes(sf_dir: str) -> str:
+    path = os.path.join(CACHE_DIR, f"nms_boxes_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        df = _nms_boxes_pdf(sf_dir)
+        _atomic_write(
+            pa.Table.from_pandas(df, schema=NMS_BOX_SCHEMA, preserve_index=False), path
+        )
+    return path
+
+
+def ensure_nms_golden(sf_dir: str) -> str:
+    """Golden NMS output: the numpy kernel run single-node per group."""
+    path = os.path.join(CACHE_DIR, f"nms_golden_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        df = _nms_boxes_pdf(sf_dir)
+        kept = np.zeros(len(df), dtype=bool)
+        for _, idx in df.groupby(["doc_id", "page"]).groups.items():
+            sub = df.loc[idx].sort_values("img_idx", kind="mergesort")
+            mask = nms_keep_mask(
+                sub[["x0", "y0", "x1", "y1"]].to_numpy(dtype=float),
+                (sub["px_w"] * sub["px_h"]).to_numpy(dtype=float),
+            )
+            kept[sub.index.to_numpy()] = mask
+        out = df.copy()
+        out["kept"] = kept
+        schema = pa.schema(list(NMS_BOX_SCHEMA) + [pa.field("kept", pa.bool_())])
+        _atomic_write(
+            pa.Table.from_pandas(out, schema=schema, preserve_index=False), path
+        )
+    return path

@@ -1,0 +1,120 @@
+"""Entry-contract smoke + new-operator tests (NMS, multimodal, dedup suite).
+
+The full query-vs-DuckDB-oracle sweep lives in scripts/check_oracles.py
+(the driver runs the equivalent at sf0.01); here we pin the pieces pytest
+should guard at sf0.001 speed.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pdf_parser_spark import golden as G
+from pdf_parser_spark.operators import dedup, multimodal, nms
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_contract(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert {"conv_id", "turn_idx", "extracted_text", "spans_json", "turn_seq"} <= set(
+        df.columns
+    )
+
+
+def test_queries_and_oracles_aligned():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every registered query is callable
+    assert all(callable(f) for f in qs.values())
+
+
+def test_nms_filter_matches_numpy_golden(spark):
+    import pandas as pd
+
+    boxes = spark.read.parquet(G.ensure_nms_boxes(SF))
+    got = (
+        nms.nms_filter(boxes)
+        .orderBy("doc_id", "page", "img_idx")
+        .toPandas()[["doc_id", "page", "img_idx", "kept"]]
+    )
+    want = (
+        pd.read_parquet(G.ensure_nms_golden(SF))
+        .sort_values(["doc_id", "page", "img_idx"])
+        .reset_index(drop=True)[["doc_id", "page", "img_idx", "kept"]]
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    assert got["kept"].any() and (~got["kept"]).any()  # both outcomes exercised
+
+
+def test_pairs_overlapping_symmetric_subset(spark):
+    boxes = spark.read.parquet(G.ensure_nms_boxes(SF))
+    pairs = nms.pairs_overlapping(boxes)
+    got = pairs.count()
+    # oracle: brute-force within groups via numpy
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_spark.kernels.geometry import boxes_overlap
+
+    pdf = pd.read_parquet(G.ensure_nms_boxes(SF))
+    n = 0
+    for _, g in pdf.groupby(["doc_id", "page"]):
+        coords = g[["x0", "y0", "x1", "y1"]].to_numpy()
+        m = boxes_overlap(coords, coords)
+        off_diag = m & ~np.eye(len(g), dtype=bool)
+        n += int(off_diag.sum()) // 2
+    assert got == n
+
+
+def test_media_features_match_jvm_expressions(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).limit(50)
+    feats = multimodal.media_features(multimodal.as_media_table(docs))
+    jvm = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+    joined = feats.join(jvm, "media_id")
+    bad = joined.filter(
+        (feats["n_bytes"] != jvm["n_bytes"]) | (feats["content_md5"] != jvm["content_md5"])
+    ).count()
+    assert bad == 0
+    r = feats.first()
+    assert r["width"] == 16 + (r["n_bytes"] % 48)
+
+
+def test_exact_dedup_keeps_first(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    kept = dedup.exact_dedup(doubled)
+    ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    assert len(ids) == docs.count()
+    assert all(i < 1000000 for i in ids)  # originals (lowest id) survive
+
+
+def test_minhash_finds_truncated_copies(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    ).limit(60)
+    copy = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs.unionByName(copy), jaccard_threshold=0.6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    hits = sum(1 for a, b in found if b - a == 1000000)
+    assert hits >= 40  # LSH recall over 60 near-identical pairs
