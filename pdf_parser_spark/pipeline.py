@@ -91,6 +91,13 @@ def session_defaults(builder, cpus: int | None = None):
         # payload rows can be multi-KB..MB; bound Arrow batch memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # payload tables carry ~100x more kernel work per scanned byte than
+        # typical relational data: default 128 MB splits make the scan (and
+        # the shuffle-write feeding the kernel) a handful of tasks that
+        # serialize ahead of the parallel extraction — 16 MB keeps scan
+        # parallelism >= core count even for modest inputs; AQE re-coalesces
+        # downstream exchanges so small splits cost nothing after the kernel
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     if cpus:
         b = b.config("spark.sql.shuffle.partitions", str(max(2, cpus)))
