@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from pdf_parser_spark import golden as G
 from pdf_parser_spark.functions import pdf_date_parse
-from pdf_parser_spark.operators import dedup, multimodal, nms, similarity, text_stats
+from pdf_parser_spark.operators import (
+    dedup,
+    images_op,
+    multimodal,
+    nms,
+    similarity,
+    text_stats,
+)
 from pdf_parser_spark.operators.text_stats import _LANG_MARKERS
 from pdf_parser_spark.pipeline import run_extraction
 
@@ -94,6 +101,44 @@ def q_d4_nms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy keep-largest NMS (D4) via applyInPandas vs the numpy golden."""
     boxes = spark.read.parquet(G.ensure_nms_boxes(sf_dir))
     return nms.nms_filter(boxes).select("doc_id", "page", "img_idx", "kept")
+
+
+def _transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(G.ensure_transcripts(sf_dir))
+
+
+def q_image_records_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship digital-PDF output: per-embedded-image rows
+    with bounds/NMS/dedup provenance + K2 crop-render md5 (S6→F2/F3→D4→D1→K2),
+    compared against the single-node kernel golden."""
+    return images_op.image_records(_transcripts_df(spark, sf_dir))
+
+
+def q_k1_page_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-page K1/K4 render records for vector/scanned turns."""
+    return images_op.page_renders(_transcripts_df(spark, sf_dir))
+
+
+def q_a5_images_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page kept-image histogram (A5 — ``smart_pdf_extractor.py:368-379``)."""
+    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
+    return (
+        recs.filter(F.col("kept"))
+        .groupBy("page")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("page")
+    )
+
+
+def q_a8_drop_reason_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-outcome histogram (A8 analog — ``:411-420``; drop provenance
+    instead of extraction_method since every record shares one kernel)."""
+    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
+    return (
+        recs.groupBy("drop_reason")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("drop_reason")
+    )
 
 
 # ======================================================== relational parity ==
@@ -349,6 +394,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ slightly-perturbed copies (dim 1 += 0.05): deterministic
+    near-duplicate positives for the cosine near-dup operator."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _doubled_embeddings(spark, sf_dir), threshold=0.9, planes=4, dims=64
+    )
+
+
 # =============================================================== multimodal ==
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "srp_bucket_histogram": q_srp_bucket_histogram,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "image_records_full": q_image_records_full,
+        "k1_page_renders": q_k1_page_renders,
+        "a5_images_per_page": q_a5_images_per_page,
+        "a8_drop_reason_histogram": q_a8_drop_reason_histogram,
     }
 
 
@@ -604,10 +677,56 @@ LIMIT 10
 """
 
 
+def _near_dup_sql() -> str:
+    cos = (
+        f"round({_dot_sql('va', 'vb', 64)} / "
+        f"({_norm_sql('va')} * {_norm_sql('vb')}), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings),
+pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + 0.05, embedding[2:64]) AS embedding
+  FROM base),
+all2 AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+b AS (SELECT vec_id, embedding, {_srp_bits_sql('embedding', 4, 64)} AS bucket FROM all2),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         a.embedding AS va, b2.embedding AS vb
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, {cos} AS cosine
+FROM pairs
+WHERE {cos} >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     golden = _golden_path()
     nms_golden = _nms_golden_path()
+    img_golden = G.ensure_image_records_golden(ORACLE_SF_DIR)
+    render_golden = G.ensure_page_renders_golden(ORACLE_SF_DIR)
     return {
+        "image_records_full": f"""
+            SELECT conv_id, turn_idx, page, img_idx, x0, y0, x1, y1, px_w, px_h,
+                   content_md5, size_bytes, kept, drop_reason, crop_md5
+            FROM '{img_golden}'
+        """,
+        "k1_page_renders": f"""
+            SELECT conv_id, turn_idx, page, renderer, px_w, px_h, png_md5, png_bytes
+            FROM '{render_golden}'
+        """,
+        "a5_images_per_page": f"""
+            SELECT page, CAST(count(*) AS BIGINT) AS n
+            FROM '{img_golden}' WHERE kept GROUP BY page ORDER BY page
+        """,
+        "a8_drop_reason_histogram": f"""
+            SELECT drop_reason, CAST(count(*) AS BIGINT) AS n
+            FROM '{img_golden}' GROUP BY drop_reason ORDER BY drop_reason
+        """,
+        "embedding_near_dup": _near_dup_sql(),
         "extract_turns_full": f"""
             SELECT conv_id, turn_idx, role, tool, payload_kind, extracted_text,
                    spans_json, n_blocks, extraction_ok, turn_seq

@@ -115,6 +115,71 @@ def ensure_golden(sf_dir: str) -> str:
     return path
 
 
+# ------------------------------------------- image-record / render goldens ---
+
+IMAGE_RECORD_PA_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("page", pa.int32()),
+        ("img_idx", pa.int32()),
+        ("x0", pa.float64()),
+        ("y0", pa.float64()),
+        ("x1", pa.float64()),
+        ("y1", pa.float64()),
+        ("px_w", pa.int32()),
+        ("px_h", pa.int32()),
+        ("content_md5", pa.string()),
+        ("size_bytes", pa.int32()),
+        ("kept", pa.bool_()),
+        ("drop_reason", pa.string()),
+        ("crop_md5", pa.string()),
+    ]
+)
+
+PAGE_RENDER_PA_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("page", pa.int32()),
+        ("renderer", pa.string()),
+        ("px_w", pa.int32()),
+        ("px_h", pa.int32()),
+        ("png_md5", pa.string()),
+        ("png_bytes", pa.int32()),
+    ]
+)
+
+
+def _ensure_record_golden(sf_dir: str, name: str, payload_fn, schema: pa.Schema) -> str:
+    path = os.path.join(CACHE_DIR, f"{name}_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        df = generate_transcripts(sf_dir)
+        rows = []
+        for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+            for rec in payload_fn(text):
+                rows.append({"conv_id": conv_id, "turn_idx": int(turn_idx), **rec})
+        out = pd.DataFrame(rows, columns=[f.name for f in schema])
+        _atomic_write(pa.Table.from_pandas(out, schema=schema, preserve_index=False), path)
+    return path
+
+
+def ensure_image_records_golden(sf_dir: str) -> str:
+    from .kernels.records import payload_image_records
+
+    return _ensure_record_golden(
+        sf_dir, "image_records", payload_image_records, IMAGE_RECORD_PA_SCHEMA
+    )
+
+
+def ensure_page_renders_golden(sf_dir: str) -> str:
+    from .kernels.records import payload_page_renders
+
+    return _ensure_record_golden(
+        sf_dir, "page_renders", payload_page_renders, PAGE_RENDER_PA_SCHEMA
+    )
+
+
 # ----------------------------------------------------------- NMS fixture ---
 
 NMS_BOX_SCHEMA = pa.schema(

@@ -1,0 +1,114 @@
+"""Payload-level record kernels: image records + page renders per turn.
+
+Pure pandas/numpy layer (no Spark imports) shared by the golden runner and
+the Spark mapInPandas wrappers (SURVEY.md §7.1).
+
+Dispatch parity with ``extractor.extract_images``
+(``pdf_api/core/pdf_image_extractor.py:709-759``):
+- DIGITAL → per-image pipeline (bounds F3 → NMS D4 incl. min-size F2 → md5
+  dedup D1) + a K2 region-crop render of each KEPT image (``:462-478``).
+- VECTOR → whole-page renders; CAD renderer K4 when page-0 drawings exceed
+  the threshold (``:94-103``), else standard K1.
+- SCANNED → whole-page K1 renders (``:295-375``).
+- TEXT → no raster output (the reference skips or falls back; we record
+  nothing, matching the filter_text=true served default).
+"""
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+
+from ..config import DEFAULT_CONFIG, ExtractConfig
+from .images import extract_image_records
+from .pdf_classify import doc_stats
+from .pdf_mini import ParsedDoc, PdfParseError, parse_pdf
+from .render import encode_png, render_cad_page, render_page, render_region
+
+__all__ = ["payload_image_records", "payload_page_renders"]
+
+
+def _parse_payload(text: str | None) -> ParsedDoc | None:
+    if not text:
+        return None
+    payload = text.strip()
+    if not payload.startswith("JVBERi0"):
+        return None
+    try:
+        raw = base64.b64decode(payload, validate=True)
+        return parse_pdf(raw)
+    except (binascii.Error, ValueError, PdfParseError):
+        return None
+
+
+def payload_image_records(
+    text: str | None, cfg: ExtractConfig = DEFAULT_CONFIG, crop_dpi: int = 36
+) -> list[dict]:
+    """Image records for one payload; [] for non-PDF/unparseable payloads.
+
+    Kept records of digital PDFs carry the md5 of their K2 crop render
+    (content-addressed like ``img{i}_{md5[:8]}.png``,
+    ``pdfplumber/smart_pdf_extractor.py:261``).
+    """
+    doc = _parse_payload(text)
+    if doc is None:
+        return []
+    stats = doc_stats(doc, cfg)
+    recs = extract_image_records(doc.pages, cfg)
+    out = []
+    for r in recs:
+        crop_md5 = ""
+        if r.kept and stats.pdf_type == "digital":
+            crop = render_region(
+                doc.pages[r.page], (r.x0, r.y0, r.x1, r.y1), dpi=crop_dpi
+            )
+            crop_md5 = hashlib.md5(encode_png(crop)).hexdigest()
+        out.append(
+            {
+                "page": r.page,
+                "img_idx": r.img_idx,
+                "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
+                "px_w": r.px_w, "px_h": r.px_h,
+                "content_md5": r.md5,
+                "size_bytes": r.size_bytes,
+                "kept": r.kept,
+                "drop_reason": r.drop_reason,
+                "crop_md5": crop_md5,
+            }
+        )
+    return out
+
+
+def payload_page_renders(
+    text: str | None, cfg: ExtractConfig = DEFAULT_CONFIG, dpi: int = 72
+) -> list[dict]:
+    """Whole-page render records for one payload (vector/scanned kinds)."""
+    doc = _parse_payload(text)
+    if doc is None:
+        return []
+    stats = doc_stats(doc, cfg)
+    if stats.pdf_type not in ("vector", "scanned"):
+        return []
+    # CAD check on page 0's drawing count (pdf_image_extractor.py:94-103)
+    p0 = doc.pages[0]
+    is_cad = (p0.n_lines + p0.n_rects + p0.n_curves) > cfg.cad_drawings_threshold
+    out = []
+    for page_no, page in enumerate(doc.pages):
+        if stats.pdf_type == "vector" and is_cad:
+            img = render_cad_page(page, dpi=dpi * 2)
+            renderer = "cad"
+        else:
+            img = render_page(page, dpi=dpi)
+            renderer = "standard"
+        png = encode_png(img)
+        out.append(
+            {
+                "page": page_no,
+                "renderer": renderer,
+                "px_w": int(img.shape[1]),
+                "px_h": int(img.shape[0]),
+                "png_md5": hashlib.md5(png).hexdigest(),
+                "png_bytes": len(png),
+            }
+        )
+    return out

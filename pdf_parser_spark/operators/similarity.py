@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "srp_bucket", "ann_lsh_topk"]
+__all__ = ["cosine_topk", "srp_bucket", "ann_lsh_topk", "embedding_near_dup_pairs"]
 
 
 def _dot(a, b):
@@ -123,3 +123,42 @@ def ann_lsh_topk(
         ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-bucket blocking.
+
+    Candidates = pairs sharing an SRP bucket (near-identical vectors land in
+    the same bucket unless a projection sits within the perturbation of 0 —
+    the standard LSH recall trade); exact cosine on candidates only. At
+    corpus scale the bucket column is the shuffle key, so the join touches
+    |bucket|² pairs per bucket instead of n².
+    """
+    b = embeddings.withColumn("bucket", srp_bucket(F.col(vec_col), planes, dims))
+    lhs = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    rhs = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
