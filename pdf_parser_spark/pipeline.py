@@ -159,15 +159,18 @@ def extract_turns(
 def reassemble(extracted: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Range-repartition + window-ordered reassembly (W1, SURVEY.md §2.6).
 
-    repartitionByRange co-locates each conversation's turns contiguously so
-    the window sort is partition-local after ONE exchange (Catalyst reuses
-    the range exchange's ordering for the window sort — check with
-    .explain(): no extra Exchange between RangePartitioning and Window).
+    The range key is ``conv_id`` ALONE: RangePartitioning(conv_id) satisfies
+    the window's ClusteredDistribution(conv_id), so the window needs only a
+    partition-local Sort on (conv_id, turn_idx) — ONE exchange total, and
+    the output is globally ordered by (conv_id, turn_idx). Ranging on
+    (conv_id, turn_idx) instead would let one conversation straddle a range
+    boundary, forcing Catalyst to insert a second, hash exchange for the
+    window (verified via .explain — tests/test_plan_shapes.py pins this).
     """
     if num_partitions:
-        ranged = extracted.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+        ranged = extracted.repartitionByRange(num_partitions, "conv_id")
     else:
-        ranged = extracted.repartitionByRange("conv_id", "turn_idx")
+        ranged = extracted.repartitionByRange("conv_id")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return ranged.withColumn("turn_seq", F.row_number().over(w))
 

@@ -1,0 +1,95 @@
+"""Physical-plan shape tests (SURVEY.md §4.3): the plan IS the product at
+100 TB, so pin its load-bearing properties with .explain assertions.
+
+- predicate pushdown + column pruning reach the parquet scan,
+- small dims broadcast,
+- the reassembly does ONE exchange (range on conv_id; no second hash
+  exchange for the window),
+- relational glue stays in whole-stage codegen.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from pdf_parser_spark.pipeline import extract_turns, reassemble
+from pdf_parser_spark.plans import (
+    count_exchanges,
+    has_pushed_filter,
+    is_broadcast_join,
+    physical_plan,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = entrymod.q_q1_pricing_summary(spark, SF)
+    plan = physical_plan(df)
+    assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    # column pruning: payload-irrelevant columns never leave the scan
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines and "l_orderkey" not in schema_lines[0]
+    assert "l_partkey" not in schema_lines[0]
+
+
+def test_q3_broadcasts_dims(spark):
+    df = entrymod.q_q3_top_orders(spark, SF)
+    assert is_broadcast_join(df)
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_reassembly_single_exchange(spark, transcripts_parquet):
+    raw = spark.read.parquet(transcripts_parquet)
+    extracted = extract_turns(raw, salt=False)
+    out = reassemble(extracted, num_partitions=4)
+    plan = physical_plan(out)
+    # exactly one post-kernel exchange: the range repartition; the window
+    # reuses its clustering (no hashpartitioning(conv_id) exchange)
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
+    )
+    assert n_exchange == 1, plan
+    assert "rangepartitioning" in plan.lower()
+    assert plan.lower().count("hashpartitioning(conv_id") == 0
+
+
+def test_salted_pipeline_two_exchanges(spark, transcripts_parquet):
+    raw = spark.read.parquet(transcripts_parquet)
+    out = reassemble(extract_turns(raw, salt=True), num_partitions=4)
+    plan = physical_plan(out)
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l
+    )
+    assert n_exchange == 2, plan  # salt + range, nothing else
+
+
+def test_relational_glue_codegen(spark):
+    # AQE materializes the final plan at execution; codegen-mode explain then
+    # reports the fused subtrees — the scan/filter/agg glue must be in them
+    df = entrymod.q_q1_pricing_summary(spark, SF)
+    df.collect()
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    n = int(codegen.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert n >= 2, codegen[:200]
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("*(") >= 2  # codegen'd stage markers in the final plan
+
+
+def test_lineage_resume_join_broadcasts(spark, transcripts_parquet):
+    from pdf_parser_spark.lineage import with_bucket
+
+    raw = with_bucket(spark.read.parquet(transcripts_parquet))
+    done = spark.createDataFrame([(1,), (2,)], "bucket int")
+    todo = raw.join(F.broadcast(done), "bucket", "left_anti")
+    assert "BroadcastNestedLoopJoin" not in physical_plan(todo)
+    assert "Broadcast" in physical_plan(todo)
