@@ -425,6 +425,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "content_md5", "width", "height")
 
 
+def q_d3_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 perceptual near-dup filter per group via applyInPandas, with F5/F6
+    mostly-white/black flags, vs the single-node kernel golden."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(40)).alias("group_id"),
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    copy = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(40)).alias("group_id"),
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return multimodal.perceptual_dedup(base.unionByName(copy))
+
+
 # ============================================================== registries ==
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -461,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "d3_perceptual_dedup": q_d3_perceptual_dedup,
         "image_records_full": q_image_records_full,
         "k1_page_renders": q_k1_page_renders,
         "a5_images_per_page": q_a5_images_per_page,
@@ -708,7 +726,12 @@ def oracle_sql() -> dict[str, str]:
     nms_golden = _nms_golden_path()
     img_golden = G.ensure_image_records_golden(ORACLE_SF_DIR)
     render_golden = G.ensure_page_renders_golden(ORACLE_SF_DIR)
+    perceptual_golden = G.ensure_perceptual_golden(ORACLE_SF_DIR)
     return {
+        "d3_perceptual_dedup": f"""
+            SELECT group_id, media_id, kept, is_mostly_white, is_mostly_black
+            FROM '{perceptual_golden}'
+        """,
         "image_records_full": f"""
             SELECT conv_id, turn_idx, page, img_idx, x0, y0, x1, y1, px_w, px_h,
                    content_md5, size_bytes, kept, drop_reason, crop_md5

@@ -180,6 +180,56 @@ def ensure_page_renders_golden(sf_dir: str) -> str:
     )
 
 
+PERCEPTUAL_PA_SCHEMA = pa.schema(
+    [
+        ("group_id", pa.int64()),
+        ("media_id", pa.int64()),
+        ("kept", pa.bool_()),
+        ("is_mostly_white", pa.bool_()),
+        ("is_mostly_black", pa.bool_()),
+    ]
+)
+
+
+def ensure_perceptual_golden(sf_dir: str, n_groups: int = 40) -> str:
+    """Golden for D3 perceptual dedup: documents + exact copies (media_id
+    +1e6) grouped by doc_id % n_groups, single-node kernel run per group."""
+    from .kernels.images import (
+        decode_image,
+        mostly_black,
+        mostly_white,
+        perceptual_keep_mask,
+    )
+
+    path = os.path.join(CACHE_DIR, f"perceptual_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        rows = []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            rows.append((int(d) % n_groups, int(d), t))
+            rows.append((int(d) % n_groups, int(d) + 1000000, t))
+        df = pd.DataFrame(rows, columns=["group_id", "media_id", "text"])
+        out = []
+        for gid, g in df.groupby("group_id"):
+            g = g.sort_values("media_id", kind="mergesort")
+            arrays = [decode_image(t.encode()) for t in g["text"]]
+            keep = perceptual_keep_mask(arrays)
+            for (_, row), k, a in zip(g.iterrows(), keep, arrays):
+                out.append(
+                    (gid, row["media_id"], bool(k), mostly_white(a), mostly_black(a))
+                )
+        res = pd.DataFrame(
+            out, columns=[f.name for f in PERCEPTUAL_PA_SCHEMA]
+        )
+        _atomic_write(
+            pa.Table.from_pandas(res, schema=PERCEPTUAL_PA_SCHEMA, preserve_index=False),
+            path,
+        )
+    return path
+
+
 # ----------------------------------------------------------- NMS fixture ---
 
 NMS_BOX_SCHEMA = pa.schema(

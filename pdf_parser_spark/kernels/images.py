@@ -26,7 +26,15 @@ from .geometry import nms_keep_mask
 from .pdf_mini import ParsedImage, ParsedPage
 from ..config import ExtractConfig, DEFAULT_CONFIG
 
-__all__ = ["ImageRecord", "extract_image_records", "mostly_white", "mostly_black"]
+__all__ = [
+    "ImageRecord",
+    "extract_image_records",
+    "mostly_white",
+    "mostly_black",
+    "resize_nearest",
+    "perceptual_similarity",
+    "perceptual_keep_mask",
+]
 
 
 @dataclass
@@ -56,6 +64,68 @@ def mostly_black(rgb: np.ndarray, thresh: int = 15, frac: float = 0.95) -> bool:
     if rgb.size == 0:
         return True
     return float(np.mean((rgb < thresh).all(axis=-1))) >= frac
+
+
+_REAL_DECODERS_AVAILABLE = False  # PIL/ffmpeg not in this container
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode image bytes to an HxWx3 uint8 array.
+
+    STUB: real decoding needs PIL/libjpeg, absent here. The deterministic
+    fake derives (w, h) from the byte length and fills pixels from the bytes
+    themselves, so every downstream feature is reproducible and testable.
+    Swap in ``PIL.Image.open`` when the library is present.
+    """
+    if _REAL_DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("wire PIL.Image.open(BytesIO(data)) here")
+    n = max(1, len(data))
+    w = 16 + (n % 48)
+    h = 16 + ((n // 7) % 48)
+    px = np.frombuffer(data, dtype=np.uint8)
+    reps = (w * h * 3 + max(1, px.size) - 1) // max(1, px.size)
+    arr = np.tile(px if px.size else np.zeros(1, np.uint8), reps)[: w * h * 3]
+    return arr.reshape(h, w, 3)
+
+
+def resize_nearest(rgb: np.ndarray, size: int = 32) -> np.ndarray:
+    """Deterministic nearest-neighbor resize to size x size (LANCZOS
+    stand-in; PIL absent — ``pdf_image_extractor_improved.py:37`` resizes
+    both images to a common grid before differencing)."""
+    h, w = rgb.shape[:2]
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return rgb[ys][:, xs]
+
+
+def perceptual_similarity(a: np.ndarray, b: np.ndarray, size: int = 32) -> float:
+    """D3 similarity: 1 - (fraction of differing pixels) after resize —
+    the numpy analog of ``ImageChops.difference`` + nonzero count
+    (``pdfplumber/pdf_image_extractor_improved.py:22-59``)."""
+    ra = resize_nearest(a, size).astype(np.int16)
+    rb = resize_nearest(b, size).astype(np.int16)
+    diff = (np.abs(ra - rb) > 0).any(axis=-1)
+    return 1.0 - float(diff.mean())
+
+
+def perceptual_keep_mask(
+    arrays: list[np.ndarray], sim_threshold: float = 0.9, size: int = 32
+) -> np.ndarray:
+    """Sequential first-wins perceptual dedup within one group: image i is
+    dropped if similar (>= threshold) to ANY earlier kept image — matching
+    the reference's loop order (``pdf_image_extractor_improved.py:261-270``)."""
+    n = len(arrays)
+    keep = np.ones(n, dtype=bool)
+    small = [resize_nearest(a, size).astype(np.int16) for a in arrays]
+    for i in range(n):
+        for j in range(i):
+            if not keep[j]:
+                continue
+            diff = (np.abs(small[i] - small[j]) > 0).any(axis=-1)
+            if 1.0 - float(diff.mean()) >= sim_threshold:
+                keep[i] = False
+                break
+    return keep
 
 
 def extract_image_records(

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_FEATURE_SCHEMA", "as_media_table", "media_features", "decode_image"]
+__all__ = [
+    "MEDIA_FEATURE_SCHEMA",
+    "as_media_table",
+    "media_features",
+    "decode_image",
+    "perceptual_dedup",
+]
 
 MEDIA_FEATURE_SCHEMA = T.StructType(
     [
@@ -35,26 +41,9 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-_REAL_DECODERS_AVAILABLE = False  # PIL/ffmpeg not in this container
-
-
-def decode_image(data: bytes) -> "np.ndarray":
-    """Decode image bytes to an HxWx3 uint8 array.
-
-    STUB: real decoding needs PIL/libjpeg, absent here. The deterministic
-    fake derives (w, h) from the byte length and fills pixels from the bytes
-    themselves, so every downstream feature is reproducible and testable.
-    Swap in ``PIL.Image.open`` when the library is present.
-    """
-    if _REAL_DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire PIL.Image.open(BytesIO(data)) here")
-    n = max(1, len(data))
-    w = 16 + (n % 48)
-    h = 16 + ((n // 7) % 48)
-    px = np.frombuffer(data, dtype=np.uint8)
-    reps = (w * h * 3 + max(1, px.size) - 1) // max(1, px.size)
-    arr = np.tile(px if px.size else np.zeros(1, np.uint8), reps)[: w * h * 3]
-    return arr.reshape(h, w, 3)
+# decode_image lives in the pure-kernel layer (golden runner needs it
+# without Spark imports); re-exported here for operator users
+from ..kernels.images import decode_image  # noqa: E402,F401
 
 
 def as_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -97,3 +86,49 @@ def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def perceptual_dedup(
+    media: DataFrame,
+    group_col: str = "group_id",
+    sim_threshold: float = 0.9,
+) -> DataFrame:
+    """D3 perceptual near-dup filter, distributed per group (applyInPandas —
+    the reference compares pairwise within one page only,
+    ``pdfplumber/pdf_image_extractor_improved.py:261-270``; groups bound the
+    O(n²) pass exactly like the per-page locality in SURVEY.md §4.1).
+
+    Input: (group_col, media_id, payload binary). Output adds ``kept`` plus
+    the F5/F6 mostly-white / mostly-black flags
+    (``pdf_image_extractor_improved.py:77-124``), ordered first-wins by
+    media_id within each group.
+    """
+    from ..kernels.images import mostly_black, mostly_white, perceptual_keep_mask
+
+    schema = T.StructType(
+        [
+            media.schema[group_col],
+            media.schema["media_id"],
+            T.StructField("kept", T.BooleanType(), False),
+            T.StructField("is_mostly_white", T.BooleanType(), False),
+            T.StructField("is_mostly_black", T.BooleanType(), False),
+        ]
+    )
+
+    def _group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("media_id", kind="mergesort").reset_index(drop=True)
+        arrays = [
+            decode_image(bytes(b) if b is not None else b"") for b in pdf["payload"]
+        ]
+        keep = perceptual_keep_mask(arrays, sim_threshold)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                "media_id": pdf["media_id"],
+                "kept": keep,
+                "is_mostly_white": [mostly_white(a) for a in arrays],
+                "is_mostly_black": [mostly_black(a) for a in arrays],
+            }
+        )
+
+    return media.groupBy(group_col).applyInPandas(_group, schema=schema)

@@ -106,6 +106,19 @@ def test_exact_dedup_keeps_first(spark):
     assert all(i < 1000000 for i in ids)  # originals (lowest id) survive
 
 
+def test_perceptual_dedup_drops_exact_copies(spark):
+    import __spark_entry__ as em
+
+    out = em.q_d3_perceptual_dedup(spark, SF).toPandas()
+    n_docs = len(out) // 2
+    dropped = out[~out["kept"]]
+    # every exact copy (media_id >= 1e6) whose original shares the group is
+    # perceptually identical -> dropped; originals all kept
+    assert len(dropped) >= n_docs * 0.95
+    assert (dropped["media_id"] >= 1000000).all()
+    assert out[out["media_id"] < 1000000]["kept"].all()
+
+
 def test_minhash_finds_truncated_copies(spark):
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
         "doc_id", "text"
