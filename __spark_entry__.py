@@ -130,6 +130,35 @@ def q_a5_images_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x5_content_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed filename templating for kept images (X5 —
+    ``img{i}_{md5[:8]}.{ext}``, ``pdfplumber/smart_pdf_extractor.py:261``)."""
+    from pdf_parser_spark.functions import content_name
+
+    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
+    return recs.filter(F.col("kept")).select(
+        "conv_id",
+        "turn_idx",
+        "img_idx",
+        content_name(
+            F.lit("img"), F.col("img_idx"), F.col("content_md5"), F.lit("png")
+        ).alias("file_name"),
+    )
+
+
+def q_f9_has_images_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Has-images existence probe over the first 3 pages (F9 —
+    ``pdf_api/core/pdf_image_extractor.py:655-704``): which turns would
+    proceed to image extraction."""
+    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
+    return (
+        recs.filter(F.col("page") <= 2)
+        .select("conv_id", "turn_idx")
+        .distinct()
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def q_a8_drop_reason_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction-outcome histogram (A8 analog — ``:411-420``; drop provenance
     instead of extraction_method since every record shares one kernel)."""
@@ -483,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_page_renders": q_k1_page_renders,
         "a5_images_per_page": q_a5_images_per_page,
         "a8_drop_reason_histogram": q_a8_drop_reason_histogram,
+        "x5_content_names": q_x5_content_names,
+        "f9_has_images_probe": q_f9_has_images_probe,
     }
 
 
@@ -748,6 +779,16 @@ def oracle_sql() -> dict[str, str]:
         "a8_drop_reason_histogram": f"""
             SELECT drop_reason, CAST(count(*) AS BIGINT) AS n
             FROM '{img_golden}' GROUP BY drop_reason ORDER BY drop_reason
+        """,
+        "x5_content_names": f"""
+            SELECT conv_id, turn_idx, img_idx,
+                   'img' || img_idx || '_' || substr(content_md5, 1, 8) || '.png'
+                     AS file_name
+            FROM '{img_golden}' WHERE kept
+        """,
+        "f9_has_images_probe": f"""
+            SELECT DISTINCT conv_id, turn_idx FROM '{img_golden}'
+            WHERE page <= 2 ORDER BY conv_id, turn_idx
         """,
         "embedding_near_dup": _near_dup_sql(),
         "extract_turns_full": f"""
