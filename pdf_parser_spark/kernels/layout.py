@@ -50,7 +50,13 @@ def _line_text(line: LayoutLine, cfg: ExtractConfig = DEFAULT_CONFIG) -> tuple[s
     Chars are joined left-to-right; a gap > word_gap_ratio*size between
     consecutive chars inserts a single synthetic space (offset -1 — synthetic
     chars carry no span).
+
+    Memoized on the line (classification and extraction both assemble the
+    same lines; see layout_page).
     """
+    cached = getattr(line, "_text_cache", None)
+    if cached is not None and cached[0] is cfg:
+        return cached[1]
     parts: list[str] = []
     offs: list[int] = []
     prev: ParsedChar | None = None
@@ -66,7 +72,9 @@ def _line_text(line: LayoutLine, cfg: ExtractConfig = DEFAULT_CONFIG) -> tuple[s
     while parts and parts[-1] == " " and offs[-1] == -1:
         parts.pop()
         offs.pop()
-    return "".join(parts), offs
+    result = ("".join(parts), offs)
+    line._text_cache = (cfg, result)
+    return result
 
 
 def _group_lines(chars: list[ParsedChar], cfg: ExtractConfig) -> list[LayoutLine]:
@@ -103,7 +111,17 @@ def _mk_line(chs: list[ParsedChar]) -> LayoutLine:
 
 
 def layout_page(page: ParsedPage, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[LayoutBlock]:
-    """Group a page's chars into reading-ordered blocks."""
+    """Group a page's chars into reading-ordered blocks.
+
+    Memoized on the page object (identity-keyed on cfg): classification
+    (``_page_text_len``) and extraction (``layout_text_and_offsets``) both
+    need the layout of the same parsed page — without the cache every
+    pdf_text/digital turn paid for layout twice (measured 2x kernel cost).
+    Pure caching; results are immutable downstream.
+    """
+    cached = getattr(page, "_layout_cache", None)
+    if cached is not None and cached[0] is cfg:
+        return cached[1]
     lines = _group_lines(page.chars, cfg)
     # lines already ordered top-to-bottom; split into blocks on big gaps
     blocks: list[LayoutBlock] = []
@@ -121,6 +139,7 @@ def layout_page(page: ParsedPage, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[L
     # reading order: top-to-bottom, then left-to-right (stable tie-break by
     # construction order)
     blocks.sort(key=lambda b: (-b.y1, b.x0))
+    page._layout_cache = (cfg, blocks)
     return blocks
 
 

@@ -98,6 +98,12 @@ def session_defaults(builder, cpus: int | None = None):
         # parallelism >= core count even for modest inputs; AQE re-coalesces
         # downstream exchanges so small splits cost nothing after the kernel
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # the engine caches only short-lived intermediates (the extracted
+        # rows between the kernel and the range exchange — see reassemble);
+        # columnar-cache compression costs one compress + two decompress
+        # passes over that text within a single job (measured 2x the whole
+        # reassembly phase) and saves memory we don't need saved
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     if cpus:
         b = b.config("spark.sql.shuffle.partitions", str(max(2, cpus)))
@@ -166,7 +172,17 @@ def reassemble(extracted: DataFrame, num_partitions: int | None = None) -> DataF
     (conv_id, turn_idx) instead would let one conversation straddle a range
     boundary, forcing Catalyst to insert a second, hash exchange for the
     window (verified via .explain — tests/test_plan_shapes.py pins this).
+
+    The input is persisted first: RangePartitioner runs a SAMPLING JOB over
+    its child to pick boundaries, and without a persist that sample pass
+    re-executes the upstream extraction kernel — the whole Python kernel ran
+    TWICE per job (measured: 244 core-s at local[2] vs 104 core-s of kernel
+    cost for 320k turns). Extracted rows are small (payload column already
+    dropped), so MEMORY_AND_DISK is cheap relative to one kernel pass.
     """
+    from pyspark import StorageLevel
+
+    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     if num_partitions:
         ranged = extracted.repartitionByRange(num_partitions, "conv_id")
     else:
