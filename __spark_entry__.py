@@ -39,7 +39,7 @@ from pdf_parser_spark.operators import (
     text_stats,
 )
 from pdf_parser_spark.operators.text_stats import _LANG_MARKERS
-from pdf_parser_spark.pipeline import run_extraction
+from pdf_parser_spark.pipeline import extract_with_fallback, reassemble, run_extraction
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness sf
 SEP = "\x1f"
@@ -94,6 +94,19 @@ def q_extract_reassembly_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_turns"),
         F.max("turn_seq").cast("long").alias("max_seq"),
         F.md5(F.concat_ws(SEP, ordered_texts)).alias("digest"),
+    )
+
+
+def q_fallback_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback replan (§4.1): second extraction pass over failed rows as a
+    filter → rescue-kernel → unionByName plan; vs the single-pass golden
+    run with cfg.fallback_plain=True."""
+    df = spark.read.parquet(G.ensure_transcripts(sf_dir))
+    out = reassemble(extract_with_fallback(df), num_partitions=16)
+    return out.select(
+        "conv_id", "turn_idx", "role", "tool", "payload_kind", "extracted_text",
+        F.to_json("spans").alias("spans_json"), "n_blocks", "extraction_ok",
+        "turn_seq",
     )
 
 
@@ -483,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_turns_full": q_extract_turns_full,
         "extract_kind_stats": q_extract_kind_stats,
         "extract_reassembly_digest": q_extract_reassembly_digest,
+        "fallback_extraction": q_fallback_extraction,
         "d4_nms_filter": q_d4_nms_filter,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_orders": q_q3_top_orders,
@@ -811,6 +825,11 @@ def oracle_sql() -> dict[str, str]:
             FROM '{golden}' GROUP BY conv_id
         """,
         "d4_nms_filter": f"SELECT doc_id, page, img_idx, kept FROM '{nms_golden}'",
+        "fallback_extraction": f"""
+            SELECT conv_id, turn_idx, role, tool, payload_kind, extracted_text,
+                   spans_json, n_blocks, extraction_ok, turn_seq
+            FROM '{G.ensure_golden_fallback(ORACLE_SF_DIR)}'
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

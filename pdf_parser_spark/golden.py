@@ -99,10 +99,23 @@ def ensure_transcripts(sf_dir: str) -> str:
 
 def ensure_golden(sf_dir: str) -> str:
     """Run the single-node golden extractor; cache the result parquet."""
-    path = os.path.join(CACHE_DIR, f"golden_{sf_tag(sf_dir)}.parquet")
+    return _ensure_extraction_golden(sf_dir, "golden", None)
+
+
+def ensure_golden_fallback(sf_dir: str) -> str:
+    """Golden with the fallback replan enabled (cfg.fallback_plain=True)."""
+    from .config import ExtractConfig
+
+    return _ensure_extraction_golden(
+        sf_dir, "golden_fb", ExtractConfig(fallback_plain=True)
+    )
+
+
+def _ensure_extraction_golden(sf_dir: str, name: str, cfg) -> str:
+    path = os.path.join(CACHE_DIR, f"{name}_{sf_tag(sf_dir)}.parquet")
     if not os.path.exists(path):
         df = generate_transcripts(sf_dir)
-        g = extract_batch(df)
+        g = extract_batch(df) if cfg is None else extract_batch(df, cfg)
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
             drop=True
         )

@@ -80,6 +80,15 @@ def _spans_to_dicts(spans: list[tuple[int, int]]) -> list[dict]:
     return [{"start": int(s), "end": int(e)} for s, e in spans]
 
 
+def _pdf_failure(text: str, cfg: ExtractConfig):
+    """Undecodable/unparseable PDF payload: error, or — with the fallback
+    replan enabled (reference ``pdf_image_extractor.py:761-821``: zero
+    results → try the other extraction method) — plain-text identity."""
+    if cfg.fallback_plain and text:
+        return KIND_PLAIN, text, _spans_to_dicts([(0, len(text))]), 1, True
+    return KIND_ERROR, "", [], 0, False
+
+
 def extract_one(
     text: str | None, cfg: ExtractConfig = DEFAULT_CONFIG
 ) -> tuple[str, str, list[dict], int, bool]:
@@ -97,11 +106,11 @@ def extract_one(
     try:
         raw = base64.b64decode(payload, validate=True)
     except (binascii.Error, ValueError):
-        return KIND_ERROR, "", [], 0, False
+        return _pdf_failure(text, cfg)
     try:
         doc = parse_pdf(raw)
     except PdfParseError:
-        return KIND_ERROR, "", [], 0, False
+        return _pdf_failure(text, cfg)
     stats = doc_stats(doc, cfg)
     kind = _PDF_TYPE_TO_KIND[stats.pdf_type]
     if kind == KIND_PDF_SCANNED:

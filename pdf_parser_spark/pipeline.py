@@ -41,6 +41,7 @@ __all__ = [
     "session_defaults",
     "sniff_kind_col",
     "extract_turns",
+    "extract_with_fallback",
     "reassemble",
     "run_extraction",
 ]
@@ -189,6 +190,44 @@ def reassemble(extracted: DataFrame, num_partitions: int | None = None) -> DataF
         ranged = extracted.repartitionByRange("conv_id")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return ranged.withColumn("turn_seq", F.row_number().over(w))
+
+
+def extract_with_fallback(
+    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Two-pass fallback replan as a DataFrame program (SURVEY.md §4.1: the
+    reference retries failed extractions with the other method,
+    ``pdf_image_extractor.py:761-821`` — no Catalyst analog, so it is a
+    second pass over the failed subset).
+
+    Pass 1 runs the strict kernel keeping the payload; failed rows with a
+    non-empty payload are re-extracted as plain text (identity + full-range
+    span); results union back. Row-for-row equal to running the kernel once
+    with ``cfg.fallback_plain=True`` (tests pin this), but expressed as the
+    filter → second-kernel → unionByName plan the reference's control flow
+    maps to.
+    """
+    first = extract_turns(df, cfg, keep_payload=True)
+    ok_rows = first.filter(
+        (F.col("payload_kind") != "error") | (F.col("text").isNull()) | (F.col("text") == "")
+    ).drop("text")
+    failed = first.filter(
+        (F.col("payload_kind") == "error") & F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    rescued = failed.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.lit("plain").alias("payload_kind"),
+        F.col("text").alias("extracted_text"),
+        F.array(
+            F.struct(
+                F.lit(0).cast("int").alias("start"),
+                F.length("text").cast("int").alias("end"),
+            )
+        ).alias("spans"),
+        F.lit(1).cast("int").alias("n_blocks"),
+        F.lit(True).alias("extraction_ok"),
+    )
+    return ok_rows.unionByName(rescued)
 
 
 def run_extraction(

@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-MULT = int(os.environ.get("SCALE_MULT", "256"))  # ~2.5M turns at sf0.1: big
+MULT = int(os.environ.get("SCALE_MULT", "64"))  # ~320k turns at sf0.1: big
 # enough that the ~2-4s fixed cost (scheduling, codegen, Arrow spin-up) is
 # noise next to the measured work at every parallelism level
 LEVELS = (2, 8, 32)
@@ -118,19 +118,29 @@ def orchestrate() -> None:
     # host, not the engine. Interleave: each TRIAL runs all levels
     # back-to-back (one shared time window), efficiency is computed per
     # trial, and the MEDIAN trial is reported (all trials shown).
-    n_trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    def run_worker(cpus):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    # trials measure ONLY the primary pair, back-to-back with alternating
+    # order — the shortest possible window, so host drift affects both
+    # levels of a ratio nearly equally; the secondary level is measured
+    # once outside the trials (it is diagnostic, not the pass criterion)
+    n_trials = int(os.environ.get("SCALE_TRIALS", "5"))
     trials = []
     for t in range(n_trials):
+        order = PRIMARY if t % 2 == 0 else tuple(reversed(PRIMARY))
         one = {}
-        # alternate level order per trial: cancels monotone host drift
-        for cpus in (LEVELS if t % 2 == 0 else tuple(reversed(LEVELS))):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-                capture_output=True, text=True, cwd=REPO, timeout=3600,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            one[cpus] = json.loads(line)
+        for cpus in order:
+            one[cpus] = run_worker(cpus)
         trials.append(one)
+    secondary_run = run_worker(SECONDARY[1])
+    for one in trials:
+        one[SECONDARY[1]] = secondary_run
 
     ctl = cpu_control(LEVELS)
     turns = trials[0][LEVELS[0]]["turns"]
@@ -139,8 +149,7 @@ def orchestrate() -> None:
         return (one[a]["sec"] / one[b]["sec"]) / (b / a)
 
     effs = sorted(trials, key=lambda one: trial_eff(one, *PRIMARY))
-    median_trial = effs[len(effs) // 2]
-    results = effs[-1]  # best trial = least host interference (all shown)
+    results = median_trial = effs[len(effs) // 2]  # median trial reported
 
     def eff(a, b):
         return trial_eff(results, a, b)
@@ -200,8 +209,8 @@ Host CPU availability drifts on a minutes timescale (shared VM / CPU
 steal — the control experiment below catches windows where per-core
 throughput halves), so each trial runs all levels back-to-back in one
 time window with alternating order, efficiency is computed within a
-trial, and the BEST trial — the one with least host interference — is
-reported as the capability measure. All trials:
+trial (primary pair back-to-back, alternating order — the shortest
+possible window), and the MEDIAN trial is reported. All trials:
 {[round(trial_eff(o, *PRIMARY), 3) for o in trials]}
 (median {trial_eff(median_trial, *PRIMARY):.3f}).
 

@@ -106,6 +106,38 @@ def test_exact_dedup_keeps_first(spark):
     assert all(i < 1000000 for i in ids)  # originals (lowest id) survive
 
 
+def test_fallback_two_pass_equals_kernel_flag(spark, transcripts_pdf, transcripts_parquet):
+    """The filter→rescue→union DataFrame plan (extract_with_fallback) must be
+    row-for-row equal to the kernel run once with cfg.fallback_plain=True."""
+    from pdf_parser_spark.config import ExtractConfig
+    from pdf_parser_spark.kernels.extract import extract_batch
+    from pdf_parser_spark.pipeline import extract_with_fallback
+
+    got = (
+        extract_with_fallback(spark.read.parquet(transcripts_parquet))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_batch(transcripts_pdf, ExtractConfig(fallback_plain=True))
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got["payload_kind"].tolist() == want["payload_kind"].tolist()
+    assert got["extracted_text"].tolist() == want["extracted_text"].tolist()
+    assert got["extraction_ok"].tolist() == want["extraction_ok"].tolist()
+    # rescued rows exist: strict run had errors with non-empty payloads
+    strict = extract_batch(transcripts_pdf)
+    n_rescuable = (
+        (strict["payload_kind"] == "error") & (transcripts_pdf.set_index(
+            ["conv_id", "turn_idx"]
+        ).loc[list(zip(strict["conv_id"], strict["turn_idx"]))]["text"].values != "")
+    ).sum()
+    assert n_rescuable > 0
+    assert (want["extraction_ok"].sum() - strict["extraction_ok"].sum()) == n_rescuable
+
+
 def test_perceptual_dedup_drops_exact_copies(spark):
     import __spark_entry__ as em
 
