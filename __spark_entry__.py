@@ -416,6 +416,35 @@ def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============================================================== similarity ==
 
+def q_training_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style corpus filter chain — the operators a
+    training-data pipeline stacks: language-ID == 'en', quality score >=
+    0.7, exact-dedup survivor, token count in [20, 1000]. All JVM-side
+    column expressions + one window; scan-speed at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        text_stats.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(text_stats.quality_score(F.col("text")) * 1000000)
+        .cast("long")
+        .alias("q_micro"),
+        toks.cast("int").alias("n_tokens"),
+    )
+    survivors = dedup.exact_dedup(enriched)
+    return (
+        survivors.filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("q_micro") >= 700000)
+            & F.col("n_tokens").between(20, 1000)
+        )
+        .select("doc_id", "source", "lang_pred", "q_micro", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
@@ -516,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id_histogram": q_lang_id_histogram,
         "quality_by_source": q_quality_by_source,
+        "training_pipeline_filter": q_training_pipeline_filter,
         "cosine_topk": q_cosine_topk,
         "srp_bucket_histogram": q_srp_bucket_histogram,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -649,28 +679,65 @@ FROM h GROUP BY id ORDER BY id
 """
 
 
-def _lang_sql() -> str:
+def _lang_score_cols() -> str:
     def score(markers: list[str]) -> str:
         return " + ".join(
             f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INTEGER)"
             for m in markers
         )
 
-    s_cols = ",\n    ".join(
+    return ",\n    ".join(
         f"{score(ms)} AS s_{lang}" for lang, ms in _LANG_MARKERS.items()
     )
-    return f"""
-WITH p AS (SELECT ' ' || text || ' ' AS p FROM documents),
-s AS (SELECT {s_cols} FROM p),
-c AS (
-  SELECT CASE
+
+
+_LANG_CASE = """CASE
     WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
     WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
     WHEN s_de > greatest(s_en, s_es) THEN 'de'
     WHEN s_es > s_en THEN 'es'
-    ELSE 'en' END AS lang_pred
-  FROM s)
+    ELSE 'en' END"""
+
+
+def _lang_sql() -> str:
+    return f"""
+WITH p AS (SELECT ' ' || text || ' ' AS p FROM documents),
+s AS (SELECT {_lang_score_cols()} FROM p),
+c AS (SELECT {_LANG_CASE} AS lang_pred FROM s)
 SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+_QUALITY_MICRO = """CAST(round(round(
+    (CASE WHEN length(text) >= 200 THEN 1.0
+          WHEN length(text) >= 50 THEN 0.6 ELSE 0.2 END) * 0.6
+    + (CASE WHEN (length(text) - length(replace(text, ' ', '')))
+              / greatest(length(text), 1) >= 0.08
+        AND (length(text) - length(replace(text, ' ', '')))
+              / greatest(length(text), 1) <= 0.30
+        THEN 1.0 ELSE 0.5 END) * 0.4, 6) * 1000000) AS BIGINT)"""
+
+
+def _training_pipeline_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text, ' ' || text || ' ' AS p,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens
+  FROM documents),
+s AS (SELECT *, {_lang_score_cols()} FROM base),
+c AS (
+  SELECT doc_id, source, text, n_tokens,
+         {_LANG_CASE} AS lang_pred,
+         {_QUALITY_MICRO} AS q_micro
+  FROM s),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM c)
+SELECT doc_id, source, lang_pred, q_micro, CAST(n_tokens AS INTEGER) AS n_tokens
+FROM d
+WHERE rn = 1 AND lang_pred = 'en' AND q_micro >= 700000
+  AND n_tokens BETWEEN 20 AND 1000
+ORDER BY doc_id
 """
 
 
@@ -950,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id_histogram": _lang_sql(),
+        "training_pipeline_filter": _training_pipeline_sql(),
         "quality_by_source": """
             WITH q AS (
               SELECT source,

@@ -24,7 +24,6 @@ Scale notes (100 TB / 1000 executors):
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 

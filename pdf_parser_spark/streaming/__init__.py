@@ -10,7 +10,7 @@ transcripts table is continuously appended.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..pipeline import TRANSCRIPT_SPARK_SCHEMA, extract_turns
