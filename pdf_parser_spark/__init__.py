@@ -20,3 +20,47 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+import tempfile as _tempfile
+import zipfile as _zipfile
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ship_package(spark) -> None:
+    """Make ``pdf_parser_spark`` importable on executor Python workers.
+
+    Workers unpickle UDFs by importing the package BY NAME; they do not
+    inherit the driver script's ``sys.path`` edits, so any session whose
+    driver cwd is not the repo root fails with ModuleNotFoundError inside
+    mapInPandas. This zips the installed package and ``addPyFile``s it —
+    the ``spark-submit --py-files engine.zip`` deployment story
+    (SURVEY.md §3.4), self-applied. Idempotent per SparkContext; called
+    automatically by every UDF-bearing operator.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = _os.path.dirname(_os.path.abspath(__file__))
+    zip_dir = _os.path.join(_tempfile.gettempdir(), "pdf_parser_spark_cache")
+    _os.makedirs(zip_dir, exist_ok=True)
+    zip_path = _os.path.join(zip_dir, f"pdf_parser_spark_pkg_{_os.getpid()}.zip")
+    if not _os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with _zipfile.ZipFile(tmp, "w", _zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in _os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = _os.path.join(root, fn)
+                    rel = _os.path.join(
+                        "pdf_parser_spark", _os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        _os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _SHIPPED_CONTEXTS.add(key)

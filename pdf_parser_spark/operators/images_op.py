@@ -83,6 +83,9 @@ def image_records(
     # no pre-shuffle: scan splits are payload-size-uniform (16 MB splits,
     # session_defaults), so shuffling the heavy text column would cost more
     # than it balances; the tiny record rows shuffle freely downstream
+    from .. import ship_package
+
+    ship_package(transcripts.sparkSession)
     df = transcripts.select("conv_id", "turn_idx", "text")
     fn = lambda t: payload_image_records(t, cfg, crop_dpi)  # noqa: E731
     return df.mapInPandas(_explode_kernel(fn, _IR_COLS), schema=IMAGE_RECORD_SCHEMA)
@@ -91,6 +94,9 @@ def image_records(
 def page_renders(
     transcripts: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, dpi: int = 72
 ) -> DataFrame:
+    from .. import ship_package
+
+    ship_package(transcripts.sparkSession)
     df = transcripts.select("conv_id", "turn_idx", "text")
     fn = lambda t: payload_page_renders(t, cfg, dpi)  # noqa: E731
     return df.mapInPandas(_explode_kernel(fn, _PR_COLS), schema=PAGE_RENDER_SCHEMA)

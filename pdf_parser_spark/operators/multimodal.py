@@ -65,6 +65,10 @@ def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     plumbing is faithful.
     """
 
+    from .. import ship_package
+
+    ship_package(media.sparkSession)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -103,8 +107,10 @@ def perceptual_dedup(
     (``pdf_image_extractor_improved.py:77-124``), ordered first-wins by
     media_id within each group.
     """
+    from .. import ship_package
     from ..kernels.images import mostly_black, mostly_white, perceptual_keep_mask
 
+    ship_package(media.sparkSession)
     schema = T.StructType(
         [
             media.schema[group_col],

@@ -39,6 +39,9 @@ def nms_filter(
     Returns the input rows plus a ``kept`` boolean, original order preserved
     within groups via img_idx.
     """
+    from .. import ship_package
+
+    ship_package(boxes.sparkSession)
     schema = T.StructType(
         [boxes.schema[c] for c in boxes.columns]
         + [T.StructField("kept", T.BooleanType(), False)]

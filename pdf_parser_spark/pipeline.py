@@ -152,6 +152,9 @@ def extract_turns(
     skew mandate). Extraction is stateless per turn, so full hashing is safe
     and strictly better than bucket salting here.
     """
+    from . import ship_package
+
+    ship_package(df.sparkSession)
     if salt:
         df = df.repartition(F.xxhash64("conv_id", "turn_idx"))
     schema = RESULT_SCHEMA
