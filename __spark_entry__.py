@@ -269,6 +269,31 @@ def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a10_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (A10 — absent in the reference, free in
+    Spark/DuckDB): per (event_type, value-band) counts + subtotals + grand
+    total, exact integer value sums."""
+    ev = _t(spark, sf_dir, "events")
+    band = F.when(F.col("value") < 100, F.lit("lo")).when(
+        F.col("value") < 250, F.lit("mid")
+    ).otherwise(F.lit("hi"))
+    return (
+        ev.select("event_type", band.alias("band"), _cents(F.col("value")).alias("vc"))
+        .rollup("event_type", "band")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("vc").cast("long").alias("value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("band"), F.lit("ALL")).alias("band"),
+            "n",
+            "value_cents",
+        )
+        .orderBy("event_type", "band")
+    )
+
+
 def q_a7_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manual width_bucket histogram (A7 — ``smart_pdf_extractor.py:391-409``)."""
     docs = _t(spark, sf_dir, "documents")
@@ -533,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_first3_totals": q_a2_first3_totals,
         "a3_classification": q_a3_classification,
         "a7_size_buckets": q_a7_size_buckets,
+        "a10_rollup_events": q_a10_rollup_events,
         "w3_first_occurrence": q_w3_first_occurrence,
         "o3_top5_docs": q_o3_top5_docs,
         "j1_overlap_pairs": q_j1_overlap_pairs,
@@ -965,6 +991,21 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'large(>400)' END AS bucket
               FROM documents)
             SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "a10_rollup_events": """
+            WITH b AS (
+              SELECT event_type,
+                     CASE WHEN value < 100 THEN 'lo'
+                          WHEN value < 250 THEN 'mid' ELSE 'hi' END AS band,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(band, 'ALL') AS band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vc) AS BIGINT) AS value_cents
+            FROM b
+            GROUP BY ROLLUP (event_type, band)
+            ORDER BY event_type, band
         """,
         "w3_first_occurrence": """
             SELECT event_type, event_id FROM (
