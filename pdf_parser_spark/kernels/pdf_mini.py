@@ -29,6 +29,7 @@ from __future__ import annotations
 import re
 import zlib
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 CHAR_WIDTH_RATIO = 0.6
 PAGE_W = 612.0
@@ -180,8 +181,10 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
 
 # ---------------------------------------------------------------- parser ---
 
-@dataclass
-class ParsedChar:
+class ParsedChar(NamedTuple):
+    # NamedTuple, not dataclass: chars are the highest-volume objects in the
+    # parse path (~100 per turn) and never mutated; tuple construction is
+    # ~2x cheaper and attribute access equal
     char: str
     x0: float
     y0: float
