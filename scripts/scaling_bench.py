@@ -138,7 +138,11 @@ def orchestrate() -> None:
         for cpus in order:
             one[cpus] = run_worker(cpus)
         trials.append(one)
-    secondary_run = run_worker(SECONDARY[1])
+    # diagnostic level: best of 3 (a single draw can land in a degraded host
+    # window — observed 10s..55s for identical runs; min is the capability)
+    secondary_run = min(
+        (run_worker(SECONDARY[1]) for _ in range(3)), key=lambda r: r["sec"]
+    )
     for one in trials:
         one[SECONDARY[1]] = secondary_run
 
