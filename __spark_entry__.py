@@ -513,6 +513,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (broadcast-join argmin over 8 centroids)."""
+    return similarity.ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8)
+
+
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe=1 probe: cosine top-k within the query's cell only."""
+    return similarity.ivf_probe_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=8
+    )
+
+
 # =============================================================== multimodal ==
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_bucket_histogram": q_srp_bucket_histogram,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "ivf_assign": q_ivf_assign,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "media_features": q_media_features,
         "d3_perceptual_dedup": q_d3_perceptual_dedup,
         "image_records_full": q_image_records_full,
@@ -833,6 +847,49 @@ LIMIT 10
 """
 
 
+_IVF_ASSIGN_CTES = """
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, 65),
+                 i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+             (acc, x) -> acc + x), 6) AS l2sq
+  FROM e, c),
+assign AS (
+  SELECT vec_id, cell, l2sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cell) AS rn
+  FROM d)
+"""
+
+
+def _ivf_assign_sql() -> str:
+    return f"""
+WITH {_IVF_ASSIGN_CTES}
+SELECT vec_id, cell, l2sq FROM assign WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def _ivf_probe_sql() -> str:
+    cos = (
+        f"round({_dot_sql('v', 'qv', 64)} / "
+        f"({_norm_sql('v')} * {_norm_sql('qv')}), 6)"
+    )
+    return f"""
+WITH {_IVF_ASSIGN_CTES},
+a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN a USING (vec_id)),
+q AS (SELECT v AS qv, cell AS qcell FROM ev WHERE vec_id = 0)
+SELECT ev.vec_id, {cos} AS cosine
+FROM ev, q
+WHERE ev.cell = q.qcell AND ev.vec_id != 0
+ORDER BY cosine DESC, ev.vec_id ASC
+LIMIT 10
+"""
+
+
 def _near_dup_sql() -> str:
     cos = (
         f"round({_dot_sql('va', 'vb', 64)} / "
@@ -898,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE page <= 2 ORDER BY conv_id, turn_idx
         """,
         "embedding_near_dup": _near_dup_sql(),
+        "ivf_assign": _ivf_assign_sql(),
+        "ivf_probe_topk": _ivf_probe_sql(),
         "extract_turns_full": f"""
             SELECT conv_id, turn_idx, role, tool, payload_kind, extracted_text,
                    spans_json, n_blocks, extraction_ok, turn_seq

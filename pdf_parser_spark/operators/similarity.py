@@ -11,10 +11,17 @@ no RNG state; identical across engines and runs.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "srp_bucket", "ann_lsh_topk", "embedding_near_dup_pairs"]
+__all__ = [
+    "cosine_topk",
+    "srp_bucket",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "ivf_assign",
+    "ivf_probe_topk",
+]
 
 
 def _dot(a, b):
@@ -123,6 +130,82 @@ def ann_lsh_topk(
         ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Deterministic centroid seeding: the embeddings of ids 0..n_cells-1 (the
+    k-means++-free degenerate init; a production index would run Lloyd's
+    iterations on top — the assignment operator below is the piece that runs
+    per-row over 100 TB and must be a broadcast join + argmin, never a
+    shuffle). Ties break to the lower cell id. Returns (id, cell, l2sq).
+    """
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec")
+    )
+    d = F.round(_l2sq(F.col(vec_col), F.col("cvec")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.asc("l2sq"), F.asc("cell"))
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col("cell"), d.alias("l2sq"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(id_col)
+    )
+
+
+def ivf_probe_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: score only vectors in the query's cell (nprobe=1).
+
+    At scale the table is partitioned by cell, so a probe is partition
+    pruning + a small scan instead of a corpus pass; this is the IVF
+    counterpart of the SRP-LSH bucket probe (ann_lsh_topk).
+    """
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col).select(id_col, "cell")
+    e = embeddings.join(assign, id_col)
+    q = e.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col("cell").alias("qcell")
+    )
+    cand = e.join(F.broadcast(q), F.col("cell") == F.col("qcell")).filter(
+        F.col(id_col) != query_id
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(
+                _dot(F.col(vec_col), F.col("qvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def embedding_near_dup_pairs(
