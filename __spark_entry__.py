@@ -518,6 +518,13 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8)
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means for the IVF quantizer (iterative — rows-only check:
+    multi-round iteration is not one ANSI query; invariants pinned in
+    pytest)."""
+    return similarity.ivf_train(_t(spark, sf_dir, "embeddings"), n_cells=8, n_iters=3)
+
+
 def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF nprobe=1 probe: cosine top-k within the query's cell only."""
     return similarity.ivf_probe_topk(
@@ -589,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_assign": q_ivf_assign,
+        "ivf_train": q_ivf_train,
         "ivf_probe_topk": q_ivf_probe_topk,
         "media_features": q_media_features,
         "d3_perceptual_dedup": q_d3_perceptual_dedup,

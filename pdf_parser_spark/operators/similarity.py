@@ -21,6 +21,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ivf_assign",
     "ivf_probe_topk",
+    "ivf_train",
 ]
 
 
@@ -169,6 +170,84 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .drop("rn")
         .orderBy(id_col)
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's iterations for the IVF coarse quantizer — the iterative-
+    algorithm shape expressed as a driver loop over DataFrame ops.
+
+    Each iteration: broadcast the k centroids → argmin assignment (window,
+    ties to lower cell) → posexplode to (cell, dim, component) → exact
+    groupBy mean → collect the k×dims centroid table back to the driver
+    (k*dims values — tiny — the ONLY driver-side data movement; the corpus
+    itself never leaves executors). Deterministic init: centroids seeded
+    from ids 0..k-1. Returns per-cell summary (cell, n_members,
+    centroid_norm) of the final model.
+
+    No SQL oracle: multi-round iteration is not expressible as one ANSI
+    query — the driver records a rows-only check; invariants (k cells,
+    members sum to corpus size, norms finite) are pinned by pytest.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    e = e.persist()
+    cents = [
+        (int(r["id"]), list(r["v"]))
+        for r in e.filter(F.col("id") < n_cells).orderBy("id").collect()
+    ]
+    for _ in range(n_iters):
+        cent_df = e.sparkSession.createDataFrame(cents, "cell int, cv array<double>")
+        d = F.round(_l2sq(F.col("v"), F.col("cv")), 6)
+        w = Window.partitionBy("id").orderBy(F.asc("l2sq"), F.asc("cell"))
+        assign = (
+            e.crossJoin(F.broadcast(cent_df))
+            .select("id", "v", "cell", d.alias("l2sq"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        new_cents = (
+            assign.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .orderBy("cell")
+            .collect()
+        )
+        by_cell = {int(r["cell"]): list(r["cv"]) for r in new_cents}
+        # empty cells keep their previous centroid
+        cents = [(c, by_cell.get(c, cv)) for c, cv in cents]
+    cent_df = e.sparkSession.createDataFrame(cents, "cell int, cv array<double>")
+    d = F.round(_l2sq(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("id").orderBy(F.asc("l2sq"), F.asc("cell"))
+    final = (
+        e.crossJoin(F.broadcast(cent_df))
+        .select("id", "cell", d.alias("l2sq"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    norms = cent_df.select(
+        "cell", F.round(_norm(F.col("cv")), 6).alias("centroid_norm")
+    )
+    return (
+        final.groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .join(norms, "cell")
+        .orderBy("cell")
     )
 
 

@@ -151,6 +151,17 @@ def test_perceptual_dedup_drops_exact_copies(spark):
     assert out[out["media_id"] < 1000000]["kept"].all()
 
 
+def test_ivf_train_invariants(spark):
+    from pdf_parser_spark.operators.similarity import ivf_train
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    out = ivf_train(emb, n_cells=8, n_iters=2).toPandas()
+    assert len(out) == 8
+    assert out["n_members"].sum() == emb.count()  # every vector assigned once
+    assert (out["n_members"] > 0).all()
+    assert (out["centroid_norm"] > 0).all() and out["centroid_norm"].notna().all()
+
+
 def test_minhash_finds_truncated_copies(spark):
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
         "doc_id", "text"
