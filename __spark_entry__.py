@@ -1149,11 +1149,13 @@ def oracle_sql() -> dict[str, str]:
         "srp_bucket_histogram": _srp_hist_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
         "media_features": """
+            -- greatest(n, 1) mirrors the kernel's max(1, len(data)) clamp so
+            -- an empty payload predicts 17x16 on both sides
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    md5(text) AS content_md5,
-                   CAST(16 + (octet_length(encode(text)) % 48) AS INTEGER) AS width,
-                   CAST(16 + ((octet_length(encode(text)) // 7) % 48) AS INTEGER) AS height
+                   CAST(16 + (greatest(octet_length(encode(text)), 1) % 48) AS INTEGER) AS width,
+                   CAST(16 + ((greatest(octet_length(encode(text)), 1) // 7) % 48) AS INTEGER) AS height
             FROM documents
         """,
     }

@@ -43,6 +43,7 @@ HEADLINE = [
     "srp_bucket_histogram",
     "d4_nms_filter",
     "media_features",
+    "fallback_extraction",
 ]
 
 
@@ -70,6 +71,7 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # drop operator persists between queries
 
     # flagship: extraction throughput over MULT x the sf documents
     tpath = os.path.join(

@@ -202,34 +202,53 @@ def extract_with_fallback(
     ``pdf_image_extractor.py:761-821`` — no Catalyst analog, so it is a
     second pass over the failed subset).
 
-    Pass 1 runs the strict kernel keeping the payload; failed rows with a
-    non-empty payload are re-extracted as plain text (identity + full-range
-    span); results union back. Row-for-row equal to running the kernel once
-    with ``cfg.fallback_plain=True`` (tests pin this), but expressed as the
-    filter → second-kernel → unionByName plan the reference's control flow
+    Pass 1 runs the strict kernel WITHOUT the payload column (the payload
+    never crosses Arrow back out of the kernel, so the kernel output stays
+    small enough to persist at corpus scale); the rare failed rows are then
+    re-joined to the SOURCE by key — a broadcast hash join of the tiny error
+    set against a streamed source scan, no shuffle of either side — and
+    re-extracted as plain text (identity + full-range span); results union
+    back. Row-for-row equal to running the kernel once with
+    ``cfg.fallback_plain=True`` (tests pin this), but expressed as the
+    filter → rescue-join → unionByName plan the reference's control flow
     maps to.
+
+    ``first`` is persisted because it feeds two sub-plans of one action
+    (ok_rows and the error set) and Spark has no cross-branch CSE — without
+    it the extraction kernel executes twice per materialization. The persist
+    lives until the consuming action finishes; callers running many queries
+    per session should ``spark.catalog.clearCache()`` between actions.
     """
-    first = extract_turns(df, cfg, keep_payload=True)
-    ok_rows = first.filter(
-        (F.col("payload_kind") != "error") | (F.col("text").isNull()) | (F.col("text") == "")
-    ).drop("text")
-    failed = first.filter(
-        (F.col("payload_kind") == "error") & F.col("text").isNotNull() & (F.col("text") != "")
-    )
-    rescued = failed.select(
+    from pyspark import StorageLevel
+
+    first = extract_turns(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    ok_rows = first.filter(F.col("payload_kind") != "error")
+    err = first.filter(F.col("payload_kind") == "error")
+    src = df.select("conv_id", "turn_idx", F.col("text").alias("_payload"))
+    # error rows are the broadcast side: the reference's fallback fires on
+    # the rare 0-result files (pdf_image_extractor.py:761-821), so the set
+    # is driver-sized; the source is streamed, never shuffled or cached.
+    err2 = src.join(F.broadcast(err), ["conv_id", "turn_idx"], "inner")
+    result_cols = [f.name for f in RESULT_SCHEMA.fields]
+    rescued = err2.filter(
+        F.col("_payload").isNotNull() & (F.col("_payload") != "")
+    ).select(
         "conv_id", "turn_idx", "role", "tool", "ts",
         F.lit("plain").alias("payload_kind"),
-        F.col("text").alias("extracted_text"),
+        F.col("_payload").alias("extracted_text"),
         F.array(
             F.struct(
                 F.lit(0).cast("int").alias("start"),
-                F.length("text").cast("int").alias("end"),
+                F.length("_payload").cast("int").alias("end"),
             )
         ).alias("spans"),
         F.lit(1).cast("int").alias("n_blocks"),
         F.lit(True).alias("extraction_ok"),
     )
-    return ok_rows.unionByName(rescued)
+    kept_err = err2.filter(
+        F.col("_payload").isNull() | (F.col("_payload") == "")
+    ).select(*result_cols)
+    return ok_rows.unionByName(rescued).unionByName(kept_err)
 
 
 def run_extraction(

@@ -74,6 +74,10 @@ def main() -> int:
             sdf = fn(spark, SF_DIR)
             srows = [r.asDict() for r in sdf.collect()]
             scols = sorted(sdf.columns)
+            # operators persist() intermediates consumed by 2+ sub-plans;
+            # drop them between queries so a 40-query session doesn't
+            # accumulate cached blocks for its whole lifetime
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")

@@ -174,3 +174,18 @@ def test_minhash_finds_truncated_copies(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     hits = sum(1 for a, b in found if b - a == 1000000)
     assert hits >= 40  # LSH recall over 60 near-identical pairs
+
+
+def test_shingles_short_doc_yields_none(spark):
+    """Pin the short-document contract: documents with fewer than k tokens
+    yield ZERO shingles (no truncated shingle) — minhash/ngram recall for
+    short docs depends on this; the DuckDB oracles mirror it, so only a unit
+    test can catch a silent flip in a future rewrite."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, ""), (4, "single")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, k=3).toPandas()
+    by_id = sh.groupby("id")["shingle"].apply(list).to_dict()
+    assert 1 not in by_id and 3 not in by_id and 4 not in by_id
+    assert by_id[2] == ["one two three"]

@@ -27,6 +27,18 @@ from pdf_parser_spark.plans import (
 
 SF = "/root/testdata/sf0.001"
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _cold_cache(spark):
+    """Plan shapes assume a cold cache: a persist left by an earlier test
+    (e.g. extract_with_fallback's kernel persist) substitutes an
+    InMemoryTableScan into any later plan with a matching subtree and
+    collapses its exchanges."""
+    spark.catalog.clearCache()
+    yield
+
 
 def test_q1_pushdown_and_pruning(spark):
     df = entrymod.q_q1_pricing_summary(spark, SF)
@@ -93,3 +105,17 @@ def test_lineage_resume_join_broadcasts(spark, transcripts_parquet):
     todo = raw.join(F.broadcast(done), "bucket", "left_anti")
     assert "BroadcastNestedLoopJoin" not in physical_plan(todo)
     assert "Broadcast" in physical_plan(todo)
+
+
+def test_fallback_kernel_runs_once(spark, transcripts_parquet):
+    """extract_with_fallback's pass-1 output feeds two sub-plans (ok_rows +
+    error set); the persist must be in the plan (InMemoryTableScan) so the
+    extraction kernel executes once, and the rescue join must broadcast the
+    tiny error side instead of shuffling the source."""
+    from pdf_parser_spark.pipeline import extract_with_fallback
+
+    out = extract_with_fallback(spark.read.parquet(transcripts_parquet))
+    plan = physical_plan(out)
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
