@@ -110,6 +110,17 @@ def q_fallback_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o5_turn_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated O5 range slice (``pdfplumber/pdf_page_extractor.py:101-135``
+    extracts a page_range=(start,end); the per-conversation analog slices a
+    turn range): BETWEEN filter ahead of the projection, pushed to the scan
+    of the extraction output."""
+    out = run_extraction(spark, G.ensure_transcripts(sf_dir), num_partitions=16)
+    return out.filter(F.col("turn_idx").between(1, 3)).select(
+        "conv_id", "turn_idx", "payload_kind", "extracted_text"
+    )
+
+
 def q_d4_nms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy keep-largest NMS (D4) via applyInPandas vs the numpy golden."""
     boxes = spark.read.parquet(G.ensure_nms_boxes(sf_dir))
@@ -405,6 +416,20 @@ def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-width (64-bit) simhash as 4x16-bit chunks — the banding shape
+    the Hamming-pair operator consumes."""
+    return dedup.simhash64_chunks(_t(spark, sf_dir, "documents")).orderBy("id")
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 near-dup pairs over simhash64 via pigeonhole chunk banding
+    (what a dedup pipeline actually does with simhash)."""
+    return dedup.simhash_hamming_pairs(
+        _doubled_docs(spark, sf_dir, exact=False), max_hamming=3, max_bucket=50
+    )
+
+
 def q_fingerprint48(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -525,6 +550,13 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_train(_t(spark, sf_dir, "embeddings"), n_cells=8, n_iters=3)
 
 
+def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration (seed -> assign -> exact fixed-point mean) — the
+    single-round k-means update as one declarative query with a full SQL
+    oracle; the multi-round loop stays in ivf_train (rows-only by design)."""
+    return similarity.ivf_train_step(_t(spark, sf_dir, "embeddings"), n_cells=8)
+
+
 def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF nprobe=1 probe: cosine top-k within the query's cell only."""
     return similarity.ivf_probe_topk(
@@ -586,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash32": q_simhash32,
+        "simhash64": q_simhash64,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "fingerprint48": q_fingerprint48,
         "token_stats": q_token_stats,
         "lang_id_histogram": q_lang_id_histogram,
@@ -597,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_assign": q_ivf_assign,
         "ivf_train": q_ivf_train,
+        "ivf_train_step": q_ivf_train_step,
         "ivf_probe_topk": q_ivf_probe_topk,
         "media_features": q_media_features,
         "d3_perceptual_dedup": q_d3_perceptual_dedup,
@@ -606,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_drop_reason_histogram": q_a8_drop_reason_histogram,
         "x5_content_names": q_x5_content_names,
         "f9_has_images_probe": q_f9_has_images_probe,
+        "o5_turn_slice": q_o5_turn_slice,
     }
 
 
@@ -711,6 +747,95 @@ agg AS (SELECT id, count(*) AS n,
     {sums}
   FROM h GROUP BY id)
 SELECT id, CAST({terms} AS BIGINT) AS simhash FROM agg ORDER BY id
+"""
+
+
+def _simhash64_ctes(docs_from: str) -> str:
+    """CTEs toks->h->sums->ch producing (id, c0..c3) 16-bit simhash chunks,
+    mirroring dedup.simhash64_chunks."""
+    hs = ",\n         ".join(
+        f"CAST(concat('0x', substr(md5(tok), {4 * j + 1}, 4)) AS BIGINT) AS h{j}"
+        for j in range(4)
+    )
+    sums = ",\n    ".join(
+        f"sum((h{j} >> {r}) & 1) AS s{j}_{r}" for j in range(4) for r in range(16)
+    )
+    chunks = ",\n    ".join(
+        " + ".join(
+            f"(CASE WHEN s{j}_{r} * 2 > n THEN CAST({1 << r} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for r in range(16)
+        )
+        + f" AS c{j}"
+        for j in range(4)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id AS id, tok
+  FROM {docs_from}, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE length(tok) > 0),
+h AS (SELECT id, {hs} FROM toks),
+sums AS (SELECT id, count(*) AS n,
+    {sums}
+  FROM h GROUP BY id),
+ch AS (SELECT id,
+    {chunks}
+  FROM sums)
+"""
+
+
+def _simhash64_sql() -> str:
+    return f"""
+WITH {_simhash64_ctes('documents')}
+SELECT id, c0, c1, c2, c3 FROM ch ORDER BY id
+"""
+
+
+def _simhash_hamming_sql(max_hamming: int = 3, max_bucket: int = 50) -> str:
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {j} AS band_idx, c{j} AS band_val FROM ch" for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(ca.c{j}, cb.c{j}))" for j in range(4))
+    return f"""
+WITH docs2 AS ({_DOUBLED_TRUNC}),
+{_simhash64_ctes('docs2')},
+bands AS (
+  {bands}
+),
+ok AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       HAVING count(*) <= {max_bucket}),
+b2 AS (SELECT b.* FROM bands b JOIN ok USING (band_idx, band_val)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM b2 a JOIN b2 b USING (band_idx, band_val) WHERE a.id < b.id)
+SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand JOIN ch ca ON ca.id = id_a JOIN ch cb ON cb.id = id_b
+WHERE {ham} <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def _ivf_train_step_sql() -> str:
+    return f"""
+WITH {_IVF_ASSIGN_CTES},
+a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+ev AS (SELECT a.cell, e.v FROM e JOIN a USING (vec_id)),
+comp AS (
+  SELECT cell, i AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS sx
+  FROM ev, UNNEST(range(1, 65)) AS u(i)),
+sums AS (SELECT cell, dim, sum(sx) AS ssum, count(*) AS n
+         FROM comp GROUP BY cell, dim),
+m AS (SELECT cell, dim, CAST(ssum AS DOUBLE) / (n * 1000000.0) AS md FROM sums),
+normc AS (
+  SELECT cell,
+         round(sqrt(list_reduce(list_prepend(0.0,
+             list_transform(array_agg(md ORDER BY dim), x -> x * x)),
+             (acc, v) -> acc + v)), 6) AS centroid_norm
+  FROM m GROUP BY cell),
+members AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a GROUP BY cell)
+SELECT members.cell, n_members, centroid_norm
+FROM members JOIN normc ON members.cell = normc.cell
+ORDER BY members.cell
 """
 
 
@@ -1112,6 +1237,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "ngram_jaccard_pairs": _ngram_sql(),
         "simhash32": _simhash_sql(32),
+        "simhash64": _simhash64_sql(),
+        "simhash_hamming_pairs": _simhash_hamming_sql(),
+        "ivf_train_step": _ivf_train_step_sql(),
+        "o5_turn_slice": f"""
+            SELECT conv_id, turn_idx, payload_kind, extracted_text
+            FROM '{golden}' WHERE turn_idx BETWEEN 1 AND 3
+        """,
         "fingerprint48": _fingerprint_sql(),
         "token_stats": """
             SELECT doc_id,

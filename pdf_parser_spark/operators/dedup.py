@@ -34,6 +34,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash64_chunks",
+    "simhash_hamming_pairs",
 ]
 
 
@@ -237,3 +239,108 @@ def simhash(
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else (sim + term)
     return agg.select("id", sim.alias("simhash")).orderBy("id")
+
+
+def simhash64_chunks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 64-bit SimHash as FOUR 16-bit chunks (id, c0..c3).
+
+    64-bit is the standard simhash width (Charikar/Manku et al.); a single
+    BIGINT column would need the sign bit and engine-divergent unsigned
+    casts, so the hash lives as 4x16-bit integers — exactly the chunk shape
+    the pigeonhole banding (``simhash_hamming_pairs``) needs anyway. Chunk j
+    derives from hex chars [4j..4j+3] of md5(token) (portable across
+    engines); bit r of chunk j is 1 iff the majority of tokens have it set.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.md5(F.col("tok"))
+    chunks = toks.select(
+        "id",
+        *[
+            F.conv(F.substring(h, 4 * j + 1, 4), 16, 10)
+            .cast("long")
+            .alias(f"h{j}")
+            for j in range(4)
+        ],
+    )
+    sums = chunks.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col(f"h{j}"), r).bitwiseAND(F.lit(1))).alias(
+                f"s{j}_{r}"
+            )
+            for j in range(4)
+            for r in range(16)
+        ],
+    )
+    chunk_cols = []
+    for j in range(4):
+        c = None
+        for r in range(16):
+            term = F.when(
+                F.col(f"s{j}_{r}") * 2 > F.col("n"), F.lit(1 << r).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            c = term if c is None else (c + term)
+        chunk_cols.append(c.alias(f"c{j}"))
+    return sums.select("id", *chunk_cols)
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Hamming-near simhash64 pairs via pigeonhole chunk banding — the
+    operator a dedup pipeline actually runs on simhash output.
+
+    Pigeonhole: two hashes with Hamming distance <= 3 agree EXACTLY on at
+    least one of the 4 16-bit chunks, so candidates = pairs sharing
+    (chunk_idx, chunk_value); exact Hamming (popcount of XOR per chunk,
+    summed) verifies candidates only — never the n² cross product. Larger
+    ``max_hamming`` keeps LSH-recall semantics (pairs found only if they
+    collide on some chunk), which the oracle mirrors. ``max_bucket`` caps
+    boilerplate floods exactly like minhash_lsh_pairs.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, ordered.
+    """
+    ch = simhash64_chunks(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # feeds the band explode AND both chunk-lookup join sides
+    bands = ch.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(4)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    sizes = bands.groupBy("band_idx", "band_val").agg(F.count("*").alias("n"))
+    bands = bands.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
+        "inner",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ca = ch.select(*[F.col(c).alias(f"a_{c}") for c in ch.columns])
+    cb = ch.select(*[F.col(c).alias(f"b_{c}") for c in ch.columns])
+    ham = None
+    for j in range(4):
+        t = F.bit_count(F.col(f"a_c{j}").bitwiseXOR(F.col(f"b_c{j}")))
+        ham = t if ham is None else (ham + t)
+    return (
+        cand.join(ca, F.col("id_a") == F.col("a_id"))
+        .join(cb, F.col("id_b") == F.col("b_id"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

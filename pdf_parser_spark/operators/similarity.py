@@ -22,6 +22,7 @@ __all__ = [
     "ivf_assign",
     "ivf_probe_topk",
     "ivf_train",
+    "ivf_train_step",
 ]
 
 
@@ -324,3 +325,75 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def ivf_train_step(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE Lloyd iteration, fully declarative — the single-round k-means
+    update IS one ANSI query, so unlike the multi-round driver loop
+    (``ivf_train``) this operator carries a full SQL oracle.
+
+    Seed centroids = vectors with id < n_cells (same deterministic init as
+    ivf_assign); assignment = broadcast-centroid argmin; the updated
+    centroid mean is computed in EXACT fixed-point (components scaled to
+    1e-6 ints, summed as BIGINT — no float-sum order sensitivity across
+    partitions), then the norm folds the per-dim means in dim order
+    sequentially on both engines. Returns (cell, n_members, centroid_norm)
+    for the post-update model.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("id") < n_cells).select(
+        F.col("id").alias("cell"), F.col("v").alias("cv")
+    )
+    d = F.round(_l2sq(F.col("v"), F.col("cv")), 6)
+    w = Window.partitionBy("id").orderBy(F.asc("l2sq"), F.asc("cell"))
+    from pyspark import StorageLevel
+
+    # assign feeds two sub-plans (the mean update and the member counts);
+    # persist or the broadcast-argmin pass runs twice (no cross-branch CSE)
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("id", "v", "cell", d.alias("l2sq"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    comp = assign.select(
+        "cell",
+        F.posexplode("v").alias("dim", "x"),
+    ).select("cell", "dim", F.round(F.col("x") * 1000000).cast("long").alias("sx"))
+    sums = comp.groupBy("cell", "dim").agg(
+        F.sum("sx").alias("ssum"), F.count("*").alias("n")
+    )
+    m = sums.select(
+        "cell", "dim", (F.col("ssum") / (F.col("n") * 1000000.0)).alias("md")
+    )
+    norms = (
+        m.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "md"))), lambda s: s["md"]
+            ).alias("mds")
+        )
+        .select(
+            "cell",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("mds", lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+    )
+    members = assign.groupBy("cell").agg(F.count("*").cast("long").alias("n_members"))
+    return members.join(norms, "cell").orderBy("cell")

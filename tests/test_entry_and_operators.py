@@ -189,3 +189,22 @@ def test_shingles_short_doc_yields_none(spark):
     by_id = sh.groupby("id")["shingle"].apply(list).to_dict()
     assert 1 not in by_id and 3 not in by_id and 4 not in by_id
     assert by_id[2] == ["one two three"]
+
+
+def test_simhash_hamming_finds_truncated_copies(spark):
+    """Pigeonhole banding recall: 15-char-truncated copies perturb few tokens,
+    so most land within Hamming<=3 of their original and MUST be found (any
+    pair with hamming<=3 shares an exact 16-bit chunk — guaranteed recall,
+    not probabilistic)."""
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    ).limit(60)
+    copy = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+    )
+    pairs = dedup.simhash_hamming_pairs(docs.unionByName(copy), max_hamming=3)
+    got = pairs.toPandas()
+    assert (got["hamming"] <= 3).all()
+    hits = sum(1 for a, b in zip(got["id_a"], got["id_b"]) if b - a == 1000000)
+    assert hits >= 20  # most truncated copies sit within Hamming<=3
