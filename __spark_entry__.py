@@ -183,6 +183,38 @@ def q_f9_has_images_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a6_format_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format histogram over KEPT images (A6 —
+    ``pdfplumber/smart_pdf_extractor.py:381-389`` counts per image format)."""
+    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
+    return (
+        recs.filter(F.col("kept"))
+        .groupBy("format")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("format")
+    )
+
+
+def q_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analyzer's nested ``analysis_result`` envelope per PDF turn
+    (``pdf_api/core/pdf_analyzer.py:51-103``): pages_info is a genuine
+    ArrayType(StructType) column in the plan (pytest pins the nested
+    schema); the registered output serializes it with F.to_json so the
+    driver's value-hash compares it byte-for-byte against the golden's
+    json.dumps — same recipe as the spans column."""
+    env = images_op.analysis_records(_transcripts_df(spark, sf_dir))
+    return env.select(
+        "conv_id",
+        "turn_idx",
+        "page_count",
+        F.to_json("pages_info").alias("pages_info_json"),
+        "total_text_chars",
+        "total_images",
+        "total_vectors",
+        "pdf_type",
+    )
+
+
 def q_a8_drop_reason_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction-outcome histogram (A8 analog — ``:411-420``; drop provenance
     instead of extraction_method since every record shares one kernel)."""
@@ -638,7 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_records_full": q_image_records_full,
         "k1_page_renders": q_k1_page_renders,
         "a5_images_per_page": q_a5_images_per_page,
+        "a6_format_histogram": q_a6_format_histogram,
         "a8_drop_reason_histogram": q_a8_drop_reason_histogram,
+        "analysis_envelope": q_analysis_envelope,
         "x5_content_names": q_x5_content_names,
         "f9_has_images_probe": q_f9_has_images_probe,
         "o5_turn_slice": q_o5_turn_slice,
@@ -1062,8 +1096,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_records_full": f"""
             SELECT conv_id, turn_idx, page, img_idx, x0, y0, x1, y1, px_w, px_h,
-                   content_md5, size_bytes, kept, drop_reason, crop_md5
+                   content_md5, size_bytes, format, color_mode, kept,
+                   drop_reason, crop_md5
             FROM '{img_golden}'
+        """,
+        "a6_format_histogram": f"""
+            SELECT format, CAST(count(*) AS BIGINT) AS n
+            FROM '{img_golden}' WHERE kept GROUP BY format ORDER BY format
+        """,
+        "analysis_envelope": f"""
+            SELECT conv_id, turn_idx, page_count, pages_info_json,
+                   total_text_chars, total_images, total_vectors, pdf_type
+            FROM '{G.ensure_analysis_golden(ORACLE_SF_DIR)}'
         """,
         "k1_page_renders": f"""
             SELECT conv_id, turn_idx, page, renderer, px_w, px_h, png_md5, png_bytes

@@ -118,28 +118,44 @@ def _make_pdf_text(doc_id: int, words: list[str]) -> str:
     return base64.b64encode(build_pdf(_text_pages(doc_id, words))).decode()
 
 
+_IMG_FMTS = ["raw", "jpeg", "flate"]
+
+
+def _fmt_of(doc_id: int, tag: str) -> str:
+    return _IMG_FMTS[_h(doc_id, "fmt", tag) % 3]
+
+
+def _color_of(doc_id: int, tag: str) -> str:
+    return "gray" if _h(doc_id, "col", tag) % 4 == 0 else "rgb"
+
+
 def _make_pdf_digital(doc_id: int, words: list[str]) -> str:
     pages = _text_pages(doc_id, words, min_chars=150)[:1]
     big = deterministic_bytes(f"img:{doc_id}:a", 256)
     images = [
         # kept: large photo
-        ImageSpec(x=100, y=400, w=300, h=200, px_w=600, px_h=400, data=big),
+        ImageSpec(x=100, y=400, w=300, h=200, px_w=600, px_h=400, data=big,
+                  fmt=_fmt_of(doc_id, "a"), color=_color_of(doc_id, "a")),
         # duplicate bytes elsewhere on the page -> md5 dedup drop
-        ImageSpec(x=100, y=120, w=150, h=100, px_w=600, px_h=400, data=big),
+        ImageSpec(x=100, y=120, w=150, h=100, px_w=600, px_h=400, data=big,
+                  fmt=_fmt_of(doc_id, "a"), color=_color_of(doc_id, "a")),
         # contained inside the first box -> NMS containment drop
         ImageSpec(
             x=150, y=450, w=100, h=80, px_w=400, px_h=320,
             data=deterministic_bytes(f"img:{doc_id}:b", 200),
+            fmt=_fmt_of(doc_id, "b"), color=_color_of(doc_id, "b"),
         ),
         # too small (px area < 100**2) -> min-size drop
         ImageSpec(
             x=450, y=600, w=30, h=30, px_w=60, px_h=60,
             data=deterministic_bytes(f"img:{doc_id}:c", 64),
+            fmt=_fmt_of(doc_id, "c"), color=_color_of(doc_id, "c"),
         ),
         # out of bounds -> bounds drop
         ImageSpec(
             x=500, y=700, w=200, h=150, px_w=400, px_h=300,
             data=deterministic_bytes(f"img:{doc_id}:d", 128),
+            fmt=_fmt_of(doc_id, "d"), color=_color_of(doc_id, "d"),
         ),
     ]
     if _h(doc_id, "xtra") % 2 == 0:
@@ -148,6 +164,7 @@ def _make_pdf_digital(doc_id: int, words: list[str]) -> str:
             ImageSpec(
                 x=110, y=410, w=290, h=195, px_w=580, px_h=390,
                 data=deterministic_bytes(f"img:{doc_id}:e", 220),
+                fmt=_fmt_of(doc_id, "e"), color=_color_of(doc_id, "e"),
             )
         )
     pages[0].images = images
@@ -171,6 +188,7 @@ def _make_pdf_scanned(doc_id: int) -> str:
             ImageSpec(
                 x=0, y=0, w=612, h=792, px_w=1224, px_h=1584,
                 data=deterministic_bytes(f"scan:{doc_id}", 512),
+                fmt=_fmt_of(doc_id, "scan"), color=_color_of(doc_id, "scan"),
             )
         ],
     )

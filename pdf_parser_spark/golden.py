@@ -144,6 +144,8 @@ IMAGE_RECORD_PA_SCHEMA = pa.schema(
         ("px_h", pa.int32()),
         ("content_md5", pa.string()),
         ("size_bytes", pa.int32()),
+        ("format", pa.string()),
+        ("color_mode", pa.string()),
         ("kept", pa.bool_()),
         ("drop_reason", pa.string()),
         ("crop_md5", pa.string()),
@@ -191,6 +193,39 @@ def ensure_page_renders_golden(sf_dir: str) -> str:
     return _ensure_record_golden(
         sf_dir, "page_renders", payload_page_renders, PAGE_RENDER_PA_SCHEMA
     )
+
+
+ANALYSIS_PA_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("page_count", pa.int32()),
+        ("pages_info_json", pa.string()),
+        ("total_text_chars", pa.int32()),
+        ("total_images", pa.int32()),
+        ("total_vectors", pa.int32()),
+        ("pdf_type", pa.string()),
+    ]
+)
+
+
+def ensure_analysis_golden(sf_dir: str) -> str:
+    """Golden for the analyzer's nested envelope; pages_info serialized with
+    json.dumps(separators=(',', ':')) — byte-identical to Spark's F.to_json
+    over the ArrayType(StructType) column (same recipe as spans_json)."""
+    from .kernels.records import payload_analysis
+
+    def fn(text):
+        out = []
+        for rec in payload_analysis(text):
+            rec = dict(rec)
+            rec["pages_info_json"] = json.dumps(
+                rec.pop("pages_info"), separators=(",", ":")
+            )
+            out.append(rec)
+        return out
+
+    return _ensure_record_golden(sf_dir, "analysis", fn, ANALYSIS_PA_SCHEMA)
 
 
 PERCEPTUAL_PA_SCHEMA = pa.schema(

@@ -49,6 +49,9 @@ class ImageRecord:
     px_h: int
     md5: str
     size_bytes: int
+    format: str         # jpeg/flate/raw (A6 format histogram source —
+    #                     ``pdfplumber/pdf_image_extractor_improved.py:284-299``)
+    color_mode: str     # rgb/gray
     kept: bool          # survived filters + NMS + dedup
     drop_reason: str    # "", "bounds", "min_size", "nms", "duplicate"
 
@@ -150,6 +153,8 @@ def extract_image_records(
                 px_w=im.px_w, px_h=im.px_h,
                 md5=hashlib.md5(im.data).hexdigest(),
                 size_bytes=len(im.data),
+                format=im.format,
+                color_mode=im.color_mode,
                 kept=True,
                 drop_reason="",
             )

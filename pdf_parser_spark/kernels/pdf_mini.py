@@ -58,6 +58,9 @@ class ImageSpec:
     px_w: int         # intrinsic pixel width
     px_h: int         # intrinsic pixel height
     data: bytes       # raw payload bytes (opaque; md5-dedup'd downstream)
+    fmt: str = "raw"      # 'jpeg' -> /DCTDecode, 'flate' -> /FlateDecode,
+    #                       'raw' -> no /Filter (format metadata for A6)
+    color: str = "rgb"    # 'rgb' -> /DeviceRGB, 'gray' -> /DeviceGray
 
 
 @dataclass
@@ -124,10 +127,14 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
         img_names: list[str] = []
         for k, img in enumerate(page.images):
             name = f"Im{k}"
+            filt = {"jpeg": " /Filter /DCTDecode", "flate": " /Filter /FlateDecode"}.get(
+                img.fmt, ""
+            )
+            cspace = "/DeviceGray" if img.color == "gray" else "/DeviceRGB"
             body = (
                 f"<< /Type /XObject /Subtype /Image /Width {img.px_w} "
-                f"/Height {img.px_h} /ColorSpace /DeviceRGB /BitsPerComponent 8 "
-                f"/Length {len(img.data)} >>\nstream\n".encode("latin-1")
+                f"/Height {img.px_h} /ColorSpace {cspace} /BitsPerComponent 8"
+                f"{filt} /Length {len(img.data)} >>\nstream\n".encode("latin-1")
                 + img.data
                 + b"\nendstream"
             )
@@ -204,6 +211,12 @@ class ParsedImage:
     px_h: int
     data: bytes
     img_idx: int
+    # format/color metadata, the reference's image_info fields format +
+    # color_mode (pdfplumber/pdf_image_extractor_improved.py:284-299) —
+    # derived from /Filter (/DCTDecode -> jpeg, /FlateDecode -> flate, none
+    # -> raw) and /ColorSpace (/DeviceGray -> gray, /DeviceRGB -> rgb)
+    format: str = "raw"
+    color_mode: str = "rgb"
 
 
 @dataclass
@@ -368,11 +381,19 @@ def parse_pdf(data: bytes) -> ParsedDoc:
             ph = re.search(rb"/Height (\d+)", ibody)
             if not pw or not ph:
                 raise PdfParseError("image without dims")
+            if b"/Filter /DCTDecode" in ibody:
+                fmt = "jpeg"
+            elif b"/Filter /FlateDecode" in ibody:
+                fmt = "flate"
+            else:
+                fmt = "raw"
+            color = "gray" if b"/ColorSpace /DeviceGray" in ibody else "rgb"
             page.images.append(
                 ParsedImage(
                     x0=x, y0=y, x1=x + w, y1=y + h,
                     px_w=int(pw.group(1)), px_h=int(ph.group(1)),
                     data=_stream_of(ibody), img_idx=k,
+                    format=fmt, color_mode=color,
                 )
             )
         # vector drawing counts (analog of page.curves/.lines/.rects,

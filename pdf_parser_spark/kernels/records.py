@@ -25,7 +25,7 @@ from .pdf_classify import doc_stats
 from .pdf_mini import ParsedDoc, PdfParseError, parse_pdf
 from .render import encode_png, render_cad_page, render_page, render_region
 
-__all__ = ["payload_image_records", "payload_page_renders"]
+__all__ = ["payload_image_records", "payload_page_renders", "payload_analysis"]
 
 
 def _parse_payload(text: str | None) -> ParsedDoc | None:
@@ -71,12 +71,48 @@ def payload_image_records(
                 "px_w": r.px_w, "px_h": r.px_h,
                 "content_md5": r.md5,
                 "size_bytes": r.size_bytes,
+                "format": r.format,
+                "color_mode": r.color_mode,
                 "kept": r.kept,
                 "drop_reason": r.drop_reason,
                 "crop_md5": crop_md5,
             }
         )
     return out
+
+
+def payload_analysis(
+    text: str | None, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> list[dict]:
+    """The analyzer's nested ``analysis_result`` envelope for one payload —
+    ``pdf_api/core/pdf_analyzer.py:51-103``: per-page ``pages_info[]`` (an
+    array of structs, capped at the first 3 pages like the reference's
+    sample_pages ``:66``) plus document totals and the PDFType. [] for
+    non-PDF payloads (the analyzer 400s on them, ``routes.py:56-59``)."""
+    doc = _parse_payload(text)
+    if doc is None:
+        return []
+    stats = doc_stats(doc, cfg)
+    return [
+        {
+            "page_count": stats.page_count,
+            "pages_info": [
+                {
+                    "page": p.page,
+                    "text_chars": p.text_chars,
+                    "image_count": p.image_count,
+                    "curves": p.curves,
+                    "lines": p.lines,
+                    "rects": p.rects,
+                }
+                for p in stats.pages
+            ],
+            "total_text_chars": stats.total_text_chars,
+            "total_images": stats.total_images,
+            "total_vectors": stats.total_vectors,
+            "pdf_type": stats.pdf_type,
+        }
+    ]
 
 
 def payload_page_renders(

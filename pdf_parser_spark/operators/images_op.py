@@ -22,7 +22,14 @@ from pyspark.sql import types as T
 from ..config import DEFAULT_CONFIG, ExtractConfig
 from ..kernels.records import payload_image_records, payload_page_renders
 
-__all__ = ["IMAGE_RECORD_SCHEMA", "PAGE_RENDER_SCHEMA", "image_records", "page_renders"]
+__all__ = [
+    "IMAGE_RECORD_SCHEMA",
+    "PAGE_RENDER_SCHEMA",
+    "ANALYSIS_SCHEMA",
+    "image_records",
+    "page_renders",
+    "analysis_records",
+]
 
 IMAGE_RECORD_SCHEMA = T.StructType(
     [
@@ -38,6 +45,8 @@ IMAGE_RECORD_SCHEMA = T.StructType(
         T.StructField("px_h", T.IntegerType(), False),
         T.StructField("content_md5", T.StringType(), False),
         T.StructField("size_bytes", T.IntegerType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("color_mode", T.StringType(), False),
         T.StructField("kept", T.BooleanType(), False),
         T.StructField("drop_reason", T.StringType(), False),
         T.StructField("crop_md5", T.StringType(), False),
@@ -57,8 +66,39 @@ PAGE_RENDER_SCHEMA = T.StructType(
     ]
 )
 
+ANALYSIS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("page_count", T.IntegerType(), False),
+        # the analyzer's nested pages_info[] — array of per-page stat structs
+        # (``pdf_api/core/pdf_analyzer.py:92-103``)
+        T.StructField(
+            "pages_info",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("page", T.IntegerType(), False),
+                        T.StructField("text_chars", T.IntegerType(), False),
+                        T.StructField("image_count", T.IntegerType(), False),
+                        T.StructField("curves", T.IntegerType(), False),
+                        T.StructField("lines", T.IntegerType(), False),
+                        T.StructField("rects", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("total_text_chars", T.IntegerType(), False),
+        T.StructField("total_images", T.IntegerType(), False),
+        T.StructField("total_vectors", T.IntegerType(), False),
+        T.StructField("pdf_type", T.StringType(), False),
+    ]
+)
+
 _IR_COLS = [f.name for f in IMAGE_RECORD_SCHEMA.fields]
 _PR_COLS = [f.name for f in PAGE_RENDER_SCHEMA.fields]
+_AN_COLS = [f.name for f in ANALYSIS_SCHEMA.fields]
 
 
 def _explode_kernel(payload_fn, out_cols):
@@ -100,3 +140,17 @@ def page_renders(
     df = transcripts.select("conv_id", "turn_idx", "text")
     fn = lambda t: payload_page_renders(t, cfg, dpi)  # noqa: E731
     return df.mapInPandas(_explode_kernel(fn, _PR_COLS), schema=PAGE_RENDER_SCHEMA)
+
+
+def analysis_records(
+    transcripts: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The analyzer envelope (``/api/analyze``) as a DataFrame: one row per
+    PDF turn with the nested ArrayType(StructType) ``pages_info`` column."""
+    from .. import ship_package
+    from ..kernels.records import payload_analysis
+
+    ship_package(transcripts.sparkSession)
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    fn = lambda t: payload_analysis(t, cfg)  # noqa: E731
+    return df.mapInPandas(_explode_kernel(fn, _AN_COLS), schema=ANALYSIS_SCHEMA)

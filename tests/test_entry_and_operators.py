@@ -208,3 +208,39 @@ def test_simhash_hamming_finds_truncated_copies(spark):
     assert (got["hamming"] <= 3).all()
     hits = sum(1 for a, b in zip(got["id_a"], got["id_b"]) if b - a == 1000000)
     assert hits >= 20  # most truncated copies sit within Hamming<=3
+
+
+def test_analysis_envelope_nested_schema(spark):
+    """pages_info must be a genuine ArrayType(StructType) column (the
+    analyzer's nested analysis_result shape, pdf_analyzer.py:92-103), not a
+    pre-flattened string; the registered query serializes it only at the
+    output boundary."""
+    from pyspark.sql import types as T
+
+    from pdf_parser_spark.operators import images_op
+
+    env = images_op.analysis_records(
+        spark.read.parquet(G.ensure_transcripts(SF))
+    )
+    f = env.schema["pages_info"]
+    assert isinstance(f.dataType, T.ArrayType)
+    assert isinstance(f.dataType.elementType, T.StructType)
+    assert [x.name for x in f.dataType.elementType.fields] == [
+        "page", "text_chars", "image_count", "curves", "lines", "rects",
+    ]
+    rows = env.limit(200).collect()
+    assert rows and any(len(r["pages_info"]) > 0 for r in rows)
+    # pages_info is capped at the classify sample (first <=3 pages), page_count is not
+    assert all(len(r["pages_info"]) <= 3 for r in rows)
+
+
+def test_image_formats_vary(spark):
+    """A6 needs real variation: the synthetic corpus must carry all three
+    formats and both color modes through parse -> records."""
+    from pdf_parser_spark.operators import images_op
+
+    recs = images_op.image_records(
+        spark.read.parquet(G.ensure_transcripts(SF))
+    ).toPandas()
+    assert set(recs["format"]) == {"raw", "jpeg", "flate"}
+    assert set(recs["color_mode"]) == {"rgb", "gray"}
