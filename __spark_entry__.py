@@ -566,7 +566,8 @@ def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
-        _doubled_embeddings(spark, sf_dir), threshold=0.9, planes=4, dims=64
+        _doubled_embeddings(spark, sf_dir),
+        threshold=0.9, planes=6, n_tables=2, dims=64, max_bucket=200,
     )
 
 
@@ -976,11 +977,11 @@ LIMIT 10
 """
 
 
-def _srp_bits_sql(vec: str, planes: int, dims: int) -> str:
+def _srp_bits_sql(vec: str, planes: int, dims: int, plane_offset: int = 0) -> str:
     from pdf_parser_spark.operators.similarity import _md5_nibble
 
     bit_exprs = []
-    for p in range(planes):
+    for p in range(plane_offset, plane_offset + planes):
         terms = ", ".join(
             f"CAST({vec}[{d + 1}] AS DOUBLE) * "
             f"{'1.0' if int(_md5_nibble(p, d), 16) % 2 == 0 else '-1.0'}"
@@ -1057,10 +1058,17 @@ LIMIT 10
 """
 
 
-def _near_dup_sql() -> str:
+def _near_dup_sql(planes: int = 6, n_tables: int = 2, max_bucket: int = 200) -> str:
     cos = (
         f"round({_dot_sql('va', 'vb', 64)} / "
         f"({_norm_sql('va')} * {_norm_sql('vb')}), 6)"
+    )
+    bucket_cols = ",\n       ".join(
+        f"{_srp_bits_sql('embedding', planes, 64, plane_offset=t * planes)} AS b{t}"
+        for t in range(n_tables)
+    )
+    stacked = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM b" for t in range(n_tables)
     )
     return f"""
 WITH base AS (
@@ -1071,11 +1079,20 @@ pert AS (
          list_prepend(embedding[1] + 0.05, embedding[2:64]) AS embedding
   FROM base),
 all2 AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
-b AS (SELECT vec_id, embedding, {_srp_bits_sql('embedding', 4, 64)} AS bucket FROM all2),
+b AS (SELECT vec_id, embedding,
+       {bucket_cols}
+      FROM all2),
+stacked AS (
+  {stacked}
+),
+ok AS (SELECT t, bucket FROM stacked GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
+s2 AS (SELECT s.* FROM stacked s JOIN ok USING (t, bucket)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM s2 a JOIN s2 c USING (t, bucket) WHERE a.vec_id < c.vec_id),
 pairs AS (
-  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         a.embedding AS va, b2.embedding AS vb
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+  SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand JOIN all2 ea ON ea.vec_id = id_a JOIN all2 eb ON eb.vec_id = id_b)
 SELECT id_a, id_b, {cos} AS cosine
 FROM pairs
 WHERE {cos} >= 0.9

@@ -62,6 +62,16 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
     docs, and unbounded for long ones.) Documents shorter than k tokens yield
     no shingles.
     """
+    return _shingle_stream(docs, text_col, id_col, k).distinct()
+
+
+def _shingle_stream(
+    docs: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) rows WITHOUT the distinct pass — a pure flatMap (no
+    shuffle). Consumers that aggregate by id (minhash_lsh_pairs) fold the
+    dedup into their own groupBy (min/collect_set are duplicate-insensitive)
+    and save the distinct's whole-stream exchange."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     m = F.greatest(n - (k - 1), F.lit(0))  # number of k-shingles
@@ -69,11 +79,9 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
     combined = parts[0]
     for p in parts[1:]:
         combined = F.zip_with(combined, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(combined).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(combined).alias("shingle")
+    ).filter(F.length("shingle") > 0)
 
 
 def minhash_signature(
@@ -112,27 +120,51 @@ def minhash_lsh_pairs(
     ordered. ``max_bucket`` caps pathological buckets (boilerplate floods);
     capped buckets are dropped, which under-reports — acceptable for LSH
     recall, and the exact-verify path stays O(candidates).
+
+    Plan shape (the 100 TB concern): the exploded shingle stream shuffles
+    exactly ONCE — a single groupBy(id) computes BOTH the minhash signature
+    (min over duplicates == min over the set, so no pre-distinct pass) and
+    the sorted distinct-shingle array. Exact verification then joins the
+    candidate pairs against that doc-level table and intersects the two
+    arrays per pair (``F.array_intersect`` — O(na+nb) per candidate). The
+    earlier shape re-joined the full shingle table twice per candidate side
+    (a sort-merge join on (id, shingle) over the corpus — measured 61% of
+    the whole bench suite); this one touches only doc-level rows after the
+    single agg. Trade-off: the per-doc shingle array is the same order of
+    size as the document text itself — fine wherever the corpus itself fits
+    the cluster.
     """
     rows_per_band = num_hashes // bands
-    # sh feeds 4 sub-plans (signature, both sides of the exact verify, the
-    # size counts); without an explicit persist Spark recomputes the
-    # explode+distinct shuffle each time (no cross-branch CSE) — at corpus
-    # scale that is 4x the dominant cost. MEMORY_AND_DISK spills safely.
-    sh = shingles(docs, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signature(sh, num_hashes)
-    band_cols = [
-        F.concat_ws(
-            "|",
-            F.lit(str(b)),
-            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes + both join sides
+    assert 32 % num_hashes == 0, "num_hashes must divide 32"
+    w = 32 // num_hashes
+    raw = _shingle_stream(docs, text_col, id_col, k)
+    h = F.md5(F.col("shingle"))
+    # ONE shuffle of the shingle stream: signature mins + distinct set
+    agg = (
+        raw.groupBy("id")
+        .agg(
+            *[
+                F.min(F.substring(h, s * w + 1, w)).alias(f"mh{s}")
+                for s in range(num_hashes)
+            ],
+            F.array_sort(F.collect_set("shingle")).alias("shs"),
+        )
+        .withColumn("n_sh", F.size("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds bands + both verify sides
+    )
+    band_col = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    stacked = agg.select("id", band_col.alias("band"))
     # cap hot buckets (skew guard); a silent flood would O(n²) one task
     sizes = stacked.groupBy("band").agg(F.count("*").alias("n"))
     stacked = stacked.join(
@@ -146,21 +178,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact Jaccard on candidates only
-    inter = (
-        sh.alias("sa")
-        .join(cand, F.col("sa.id") == F.col("id_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.id") == F.col("id_b")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # exact Jaccard on candidates only, via per-doc array intersection
+    la = agg.select(
+        F.col("id").alias("id_a"), F.col("shs").alias("sa"), F.col("n_sh").alias("na")
     )
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    lb = agg.select(
+        F.col("id").alias("id_b"), F.col("shs").alias("sb"), F.col("n_sh").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     return (
-        inter.join(counts.withColumnsRenamed({"id": "id_a", "n_sh": "na"}), "id_a")
-        .join(counts.withColumnsRenamed({"id": "id_b", "n_sh": "nb"}), "id_b")
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.round(

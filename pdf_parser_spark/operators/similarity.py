@@ -75,14 +75,16 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def srp_bucket(vec_col, planes: int, dims: int):
+def srp_bucket(vec_col, planes: int, dims: int, plane_offset: int = 0):
     """Sign-random-projection bucket id (string of 0/1 bits).
 
     Plane p's component for dimension d is deterministic in {-1, +1}:
-    sign = +1 iff first hex nibble of md5('p:d') is even.
+    sign = +1 iff first hex nibble of md5('p:d') is even. ``plane_offset``
+    selects a disjoint plane family — band table t of a multi-table LSH
+    uses offset t*planes so its buckets are independent of table 0's.
     """
     bits = []
-    for p in range(planes):
+    for p in range(plane_offset, plane_offset + planes):
         signs = F.array(
             *[
                 F.lit(1.0 if int(_md5_nibble(p, d), 16) % 2 == 0 else -1.0)
@@ -291,29 +293,54 @@ def ivf_probe_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    planes: int = 4,
+    planes: int = 6,
+    n_tables: int = 2,
     dims: int = 64,
+    max_bucket: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP-bucket blocking.
+    """Embedding-cosine near-duplicate pairs via multi-table SRP banding.
 
-    Candidates = pairs sharing an SRP bucket (near-identical vectors land in
-    the same bucket unless a projection sits within the perturbation of 0 —
-    the standard LSH recall trade); exact cosine on candidates only. At
-    corpus scale the bucket column is the shuffle key, so the join touches
-    |bucket|² pairs per bucket instead of n².
+    Candidates = pairs sharing a bucket in ANY of ``n_tables`` independent
+    SRP tables (disjoint plane families), exactly the OR-of-bands recall
+    construction minhash-LSH uses: more planes per table → 2^planes buckets
+    → the bucket self-join stays far from n² (4 planes = 16 buckets
+    degrades toward n²/16 at corpus scale — the round-1 scale-killer);
+    the recall a long bucket id loses is bought back by OR-ing tables.
+    ``max_bucket`` caps degenerate buckets (e.g. zero-vector floods) like
+    minhash's skew guard. Exact cosine verifies candidates only.
     """
-    b = embeddings.withColumn("bucket", srp_bucket(F.col(vec_col), planes, dims))
-    lhs = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = [
+        srp_bucket(F.col("v"), planes, dims, plane_offset=t * planes).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    # e feeds the bucket projection AND both exact-verify sides; the bucket
+    # computation is n_tables*planes folds per row — persist or it runs 3x
+    e = e.persist()
+    stacked = e.select(
+        "id",
+        F.posexplode(F.array(*buckets)).alias("t", "bucket"),
     )
-    rhs = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    sizes = stacked.groupBy("t", "bucket").agg(F.count("*").alias("n"))
+    stacked = stacked.join(
+        sizes.filter(F.col("n") <= max_bucket).select("t", "bucket"),
+        ["t", "bucket"],
+        "inner",
     )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    la = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    lb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        lhs.join(rhs, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
         .select(
             "id_a",
             "id_b",

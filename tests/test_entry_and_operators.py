@@ -244,3 +244,24 @@ def test_image_formats_vary(spark):
     ).toPandas()
     assert set(recs["format"]) == {"raw", "jpeg", "flate"}
     assert set(recs["color_mode"]) == {"rgb", "gray"}
+
+
+def test_srp_banding_shrinks_buckets(spark):
+    """The scale guard for embedding near-dup: 6 planes -> 64 buckets/table
+    must make the largest bucket (the join's worst-case quadratic block)
+    materially smaller than the 16-bucket planes=4 layout."""
+    from pdf_parser_spark.operators.similarity import srp_bucket
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+    def max_bucket(planes):
+        return (
+            emb.select(srp_bucket(F.col("embedding"), planes, 64).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    m4, m6 = max_bucket(4), max_bucket(6)
+    assert m6 < m4 * 0.6, (m4, m6)
