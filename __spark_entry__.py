@@ -622,6 +622,37 @@ def q_d3_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.perceptual_dedup(base.unionByName(copy))
 
 
+def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-pixel media features: page-render PNGs decoded by the
+    from-scratch PNG reader. The oracle is the independently recorded render
+    dimensions (px_w/px_h from the render-record kernel), so a decoder bug —
+    wrong IHDR parse, wrong unfilter — breaks the hash; this cross-checks
+    the decoder, not just the Arrow plumbing."""
+    rm = images_op.render_media(_transcripts_df(spark, sf_dir))
+    feats = multimodal.media_features_keyed(
+        rm.filter(F.col("variant") == "full").select(
+            "conv_id", "turn_idx", "page", F.col("png").alias("payload")
+        ),
+        key_cols=["conv_id", "turn_idx", "page"],
+    )
+    return feats.select(
+        "conv_id", "turn_idx", "page", "n_bytes", "content_md5", "width", "height"
+    )
+
+
+def q_d3_render_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/F5/F6 over REAL pixels: per page-render group (full + K7
+    text-stripped + byte-identical dup), perceptual keep mask and
+    mostly-white/black flags computed from actually-decoded PNG rasters."""
+    rm = images_op.render_media(_transcripts_df(spark, sf_dir))
+    media = rm.select(
+        F.concat_ws("|", "conv_id", "turn_idx", "page").alias("group_id"),
+        F.col("media_ord").cast("long").alias("media_id"),
+        F.col("png").alias("payload"),
+    )
+    return multimodal.perceptual_dedup(media)
+
+
 # ============================================================== registries ==
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -667,7 +698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train_step": q_ivf_train_step,
         "ivf_probe_topk": q_ivf_probe_topk,
         "media_features": q_media_features,
+        "media_features_png": q_media_features_png,
         "d3_perceptual_dedup": q_d3_perceptual_dedup,
+        "d3_render_dedup": q_d3_render_dedup,
         "image_records_full": q_image_records_full,
         "k1_page_renders": q_k1_page_renders,
         "a5_images_per_page": q_a5_images_per_page,
@@ -1147,6 +1180,18 @@ def oracle_sql() -> dict[str, str]:
         "f9_has_images_probe": f"""
             SELECT DISTINCT conv_id, turn_idx FROM '{img_golden}'
             WHERE page <= 2 ORDER BY conv_id, turn_idx
+        """,
+        "media_features_png": f"""
+            SELECT conv_id, turn_idx, page,
+                   png_bytes AS n_bytes,
+                   png_md5 AS content_md5,
+                   px_w AS width,
+                   px_h AS height
+            FROM '{render_golden}'
+        """,
+        "d3_render_dedup": f"""
+            SELECT group_id, media_id, kept, is_mostly_white, is_mostly_black
+            FROM '{G.ensure_render_perceptual_golden(ORACLE_SF_DIR)}'
         """,
         "embedding_near_dup": _near_dup_sql(),
         "ivf_assign": _ivf_assign_sql(),

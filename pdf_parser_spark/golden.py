@@ -358,3 +358,53 @@ def ensure_nms_golden(sf_dir: str) -> str:
             pa.Table.from_pandas(out, schema=schema, preserve_index=False), path
         )
     return path
+
+
+RENDER_PERCEPTUAL_PA_SCHEMA = pa.schema(
+    [
+        ("group_id", pa.string()),
+        ("media_id", pa.int64()),
+        ("kept", pa.bool_()),
+        ("is_mostly_white", pa.bool_()),
+        ("is_mostly_black", pa.bool_()),
+    ]
+)
+
+
+def ensure_render_perceptual_golden(sf_dir: str) -> str:
+    """Golden for the REAL-pixel D3 path: per page-render group
+    (full/stripped/dup PNGs), the perceptual keep mask + F5/F6 flags computed
+    single-node over pixels decoded by the from-scratch PNG reader."""
+    from .kernels.images import (
+        decode_image,
+        mostly_black,
+        mostly_white,
+        perceptual_keep_mask,
+    )
+    from .kernels.records import payload_render_media
+
+    path = os.path.join(CACHE_DIR, f"render_perceptual_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        df = generate_transcripts(sf_dir)
+        out = []
+        for conv_id, turn_idx, text in zip(df["conv_id"], df["turn_idx"], df["text"]):
+            pages: dict[int, list[dict]] = {}
+            for rec in payload_render_media(text):
+                pages.setdefault(rec["page"], []).append(rec)
+            for page_no, recs in sorted(pages.items()):
+                recs = sorted(recs, key=lambda r: r["media_ord"])
+                arrays = [decode_image(r["png"]) for r in recs]
+                keep = perceptual_keep_mask(arrays)
+                gid = f"{conv_id}|{int(turn_idx)}|{page_no}"
+                for r, k, a in zip(recs, keep, arrays):
+                    out.append(
+                        (gid, r["media_ord"], bool(k), mostly_white(a), mostly_black(a))
+                    )
+        res = pd.DataFrame(out, columns=[f.name for f in RENDER_PERCEPTUAL_PA_SCHEMA])
+        _atomic_write(
+            pa.Table.from_pandas(
+                res, schema=RENDER_PERCEPTUAL_PA_SCHEMA, preserve_index=False
+            ),
+            path,
+        )
+    return path

@@ -69,19 +69,25 @@ def mostly_black(rgb: np.ndarray, thresh: int = 15, frac: float = 0.95) -> bool:
     return float(np.mean((rgb < thresh).all(axis=-1))) >= frac
 
 
-_REAL_DECODERS_AVAILABLE = False  # PIL/ffmpeg not in this container
-
-
 def decode_image(data: bytes) -> np.ndarray:
     """Decode image bytes to an HxWx3 uint8 array.
 
-    STUB: real decoding needs PIL/libjpeg, absent here. The deterministic
-    fake derives (w, h) from the byte length and fills pixels from the bytes
-    themselves, so every downstream feature is reproducible and testable.
-    Swap in ``PIL.Image.open`` when the library is present.
+    PNG payloads (signature-sniffed) decode for REAL via the from-scratch
+    reader in ``kernels.png`` — rendered-page rasters flow through the
+    F5/F6/D3 pixel filters as actual pixels. Other formats (JPEG etc.) have
+    no decoder in this container (PIL/libjpeg absent): they fall back to the
+    deterministic fake that derives (w, h) from the byte length and fills
+    pixels from the bytes themselves, so downstream features stay
+    reproducible and testable. Swap the fallback for ``PIL.Image.open``
+    when the library is present.
     """
-    if _REAL_DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire PIL.Image.open(BytesIO(data)) here")
+    from .png import PngError, decode_png, is_png
+
+    if is_png(data):
+        try:
+            return decode_png(data)
+        except PngError:
+            pass  # malformed png -> deterministic fallback below
     n = max(1, len(data))
     w = 16 + (n % 48)
     h = 16 + ((n // 7) % 48)

@@ -25,7 +25,12 @@ from .pdf_classify import doc_stats
 from .pdf_mini import ParsedDoc, PdfParseError, parse_pdf
 from .render import encode_png, render_cad_page, render_page, render_region
 
-__all__ = ["payload_image_records", "payload_page_renders", "payload_analysis"]
+__all__ = [
+    "payload_image_records",
+    "payload_page_renders",
+    "payload_analysis",
+    "payload_render_media",
+]
 
 
 def _parse_payload(text: str | None) -> ParsedDoc | None:
@@ -147,4 +152,51 @@ def payload_page_renders(
                 "png_bytes": len(png),
             }
         )
+    return out
+
+
+def payload_render_media(
+    text: str | None, cfg: ExtractConfig = DEFAULT_CONFIG, dpi: int = 72
+) -> list[dict]:
+    """Page-render PNG payload rows for the REAL-pixel D3/F5/F6 path.
+
+    For each vector/scanned page, emits three media variants whose bytes are
+    actual PNG rasters (decoded for real by ``kernels.png``):
+
+      media_ord 0 'full'     — the K1/K4 render (same dispatch as
+                               payload_page_renders)
+      media_ord 1 'stripped' — the K7 text-stripped rebuild of the same page
+                               (a perceptual NEAR-duplicate of 'full': same
+                               strokes/images, text ink removed —
+                               ``pdf_image_extractor.py:200-218``)
+      media_ord 2 'dup'      — byte-identical copy of 'full' (an exact
+                               perceptual duplicate)
+
+    The perceptual dedup's first-wins order (media_ord) must keep 'full' and
+    drop 'dup'; 'stripped' drops iff its 32x32 similarity to 'full' clears
+    the threshold — a decision made on real pixels.
+    """
+    doc = _parse_payload(text)
+    if doc is None:
+        return []
+    stats = doc_stats(doc, cfg)
+    if stats.pdf_type not in ("vector", "scanned"):
+        return []
+    p0 = doc.pages[0]
+    is_cad = (p0.n_lines + p0.n_rects + p0.n_curves) > cfg.cad_drawings_threshold
+    out = []
+    for page_no, page in enumerate(doc.pages):
+        if stats.pdf_type == "vector" and is_cad:
+            full = encode_png(render_cad_page(page, dpi=dpi * 2))
+        else:
+            full = encode_png(render_page(page, dpi=dpi))
+        stripped = encode_png(render_page(page, dpi=dpi, text_stripped=True))
+        for ord_, variant, png in (
+            (0, "full", full),
+            (1, "stripped", stripped),
+            (2, "dup", full),
+        ):
+            out.append(
+                {"page": page_no, "media_ord": ord_, "variant": variant, "png": png}
+            )
     return out

@@ -154,3 +154,31 @@ def analysis_records(
     df = transcripts.select("conv_id", "turn_idx", "text")
     fn = lambda t: payload_analysis(t, cfg)  # noqa: E731
     return df.mapInPandas(_explode_kernel(fn, _AN_COLS), schema=ANALYSIS_SCHEMA)
+
+
+RENDER_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("media_ord", T.IntegerType(), False),
+        T.StructField("variant", T.StringType(), False),
+        T.StructField("png", T.BinaryType(), False),
+    ]
+)
+
+_RM_COLS = [f.name for f in RENDER_MEDIA_SCHEMA.fields]
+
+
+def render_media(
+    transcripts: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, dpi: int = 72
+) -> DataFrame:
+    """Page renders as a binary media table (conv_id, turn_idx, page,
+    media_ord, variant, png) — real PNG payloads for the pixel operators."""
+    from .. import ship_package
+    from ..kernels.records import payload_render_media
+
+    ship_package(transcripts.sparkSession)
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    fn = lambda t: payload_render_media(t, cfg, dpi)  # noqa: E731
+    return df.mapInPandas(_explode_kernel(fn, _RM_COLS), schema=RENDER_MEDIA_SCHEMA)

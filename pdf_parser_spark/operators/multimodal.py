@@ -138,3 +138,49 @@ def perceptual_dedup(
         )
 
     return media.groupBy(group_col).applyInPandas(_group, schema=schema)
+
+
+def media_features_keyed(
+    media: DataFrame, key_cols: list[str], payload_col: str = "payload"
+) -> DataFrame:
+    """media_features with arbitrary passthrough key columns instead of a
+    single media_id — one mapInPandas crossing; the decoded width/height come
+    from the payload itself (real PNG decode for PNG bytes), so joining the
+    output against independently recorded dimensions cross-checks the
+    decoder, not just the plumbing."""
+    from .. import ship_package
+
+    ship_package(media.sparkSession)
+    schema = T.StructType(
+        [media.schema[c] for c in key_cols]
+        + [
+            T.StructField("n_bytes", T.IntegerType(), False),
+            T.StructField("content_md5", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("mean_luma", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[payload_col]:
+                b = bytes(data) if data is not None else b""
+                arr = decode_image(b)
+                feats.append(
+                    (
+                        len(b),
+                        hashlib.md5(b).hexdigest(),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        round(float(arr.mean()), 6),
+                    )
+                )
+            out = pdf[key_cols].reset_index(drop=True).copy()
+            fdf = pd.DataFrame(
+                feats, columns=["n_bytes", "content_md5", "width", "height", "mean_luma"]
+            )
+            yield pd.concat([out, fdf], axis=1)
+
+    return media.mapInPandas(kernel, schema=schema)

@@ -129,3 +129,126 @@ def test_scanned_pages_render_non_pdf_skipped():
     assert len(recs) == 1 and recs[0]["renderer"] == "standard"
     assert payload_page_renders("plain text", DEFAULT_CONFIG) == []
     assert payload_page_renders(None, DEFAULT_CONFIG) == []
+
+
+# ---------------------------------------------------- PNG decoder (round 2) --
+
+
+def _manual_png(img, filters):
+    """Encode with a chosen filter type per scanline (the repo encoder only
+    writes filter 0; this exercises the decoder's Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for r in range(h):
+        line = img[r].reshape(-1).astype(np.int32)
+        f = filters[r % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+            enc = (line - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (line - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int32), line[:-3]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = np.empty_like(line)
+            for i in range(len(line)):
+                a = int(line[i - 3]) if i >= 3 else 0
+                b = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_filter0():
+    import numpy as np
+
+    from pdf_parser_spark.kernels.png import decode_png
+    from pdf_parser_spark.kernels.render import encode_png
+
+    rng_free = (np.arange(7 * 11 * 3, dtype=np.uint32) * 2654435761 % 256).astype(
+        np.uint8
+    ).reshape(7, 11, 3)
+    assert np.array_equal(decode_png(encode_png(rng_free)), rng_free)
+
+
+def test_png_all_filters_decode():
+    import numpy as np
+
+    from pdf_parser_spark.kernels.png import decode_png
+
+    img = (np.arange(9 * 13 * 3, dtype=np.uint32) * 40503 % 256).astype(
+        np.uint8
+    ).reshape(9, 13, 3)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(decode_png(_manual_png(img, filters)), img), filters
+
+
+def test_decode_image_sniffs_png():
+    import numpy as np
+
+    from pdf_parser_spark.kernels.images import decode_image
+    from pdf_parser_spark.kernels.render import encode_png
+
+    img = np.full((20, 30, 3), 250, dtype=np.uint8)
+    out = decode_image(encode_png(img))
+    assert out.shape == (20, 30, 3) and np.array_equal(out, img)
+    # non-png bytes fall back to the deterministic fake (documented stub)
+    fake = decode_image(b"not a png at all")
+    assert fake.ndim == 3 and fake.shape[2] == 3
+
+
+def test_render_media_real_pixels():
+    """The real-pixel D3 contract on one synthetic vector page: 'dup' is an
+    exact perceptual duplicate of 'full' (dropped), flags come from real
+    rasters (a rendered page is NOT mostly black; the white background
+    dominates unless ink coverage is high)."""
+    import base64
+
+    from pdf_parser_spark.kernels.images import (
+        decode_image,
+        mostly_black,
+        perceptual_keep_mask,
+    )
+    from pdf_parser_spark.kernels.pdf_mini import PageSpec, TextRun, build_pdf
+    from pdf_parser_spark.kernels.records import payload_render_media
+
+    page = PageSpec(
+        text_runs=[TextRun(x=72, y=700, size=12, text="hello render")],
+        n_lines=1200, n_rects=300, n_curves=200,
+    )
+    payload = base64.b64encode(build_pdf([page])).decode()
+    recs = payload_render_media(payload)
+    assert [r["variant"] for r in recs] == ["full", "stripped", "dup"]
+    arrays = [decode_image(r["png"]) for r in recs]
+    assert arrays[0].shape == arrays[1].shape
+    keep = perceptual_keep_mask(arrays)
+    assert keep[0] and not keep[2]  # dup always dropped
+    assert not mostly_black(arrays[0])
