@@ -44,6 +44,8 @@ HEADLINE = [
     "d4_nms_filter",
     "media_features",
     "fallback_extraction",
+    "simhash_hamming_pairs",
+    "embedding_near_dup",
 ]
 
 

@@ -260,6 +260,11 @@ def generate_transcripts_multi(sf_dir: str, out_path: str, mult: int = 4) -> str
     return out_path
 
 
+def _payload_chunk(args: tuple[list[int], list[str]]) -> list[str]:
+    ids, texts = args
+    return [_payload(int(d), t) for d, t in zip(ids, texts)]
+
+
 def _assemble(docs: pd.DataFrame, out_path: str | None = None) -> pd.DataFrame:
     n_docs = len(docs)
     n_cold = max(1, n_docs // 8)
@@ -273,9 +278,23 @@ def _assemble(docs: pd.DataFrame, out_path: str | None = None) -> pd.DataFrame:
         else:
             conv_ids.append(f"conv{h // 100 % n_cold:05d}")
 
-    payloads = [
-        _payload(int(d), t) for d, t in zip(doc_ids, docs["text"].astype(str))
-    ]
+    texts = docs["text"].astype(str).tolist()
+    if n_docs >= 50_000:
+        # payload construction (PDF building) dominates generation cost and
+        # is a pure per-row function — chunk it across processes; order is
+        # preserved, output identical to the sequential path
+        import multiprocessing as mp
+
+        nw = min(16, max(2, os.cpu_count() or 2))
+        step = (n_docs + nw * 4 - 1) // (nw * 4)
+        chunks = [
+            (list(doc_ids[i : i + step]), texts[i : i + step])
+            for i in range(0, n_docs, step)
+        ]
+        with mp.Pool(nw) as pool:
+            payloads = [p for chunk in pool.map(_payload_chunk, chunks) for p in chunk]
+    else:
+        payloads = [_payload(int(d), t) for d, t in zip(doc_ids, texts)]
     roles = [_ROLES[_h(d, "role") % 3] for d in doc_ids]
     tools = [
         _TOOLS[_h(d, "tool") % 3] if r == "tool" else ""
