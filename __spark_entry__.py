@@ -472,6 +472,13 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter/digit/symbol runs + ~4-char
+    subword estimate) — the tokenizer-budget shape next to the whitespace
+    counts in token_stats."""
+    return text_stats.subword_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -686,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "fingerprint48": q_fingerprint48,
         "token_stats": q_token_stats,
+        "subword_token_stats": q_subword_token_stats,
         "lang_id_histogram": q_lang_id_histogram,
         "quality_by_source": q_quality_by_source,
         "training_pipeline_filter": q_training_pipeline_filter,
@@ -1360,6 +1368,17 @@ def oracle_sql() -> dict[str, str]:
                           - (len(string_split_regex(trim(text), ' +')) - 1))
                          / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
                      AS avg_token_len
+            FROM documents
+        """,
+        "subword_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS INTEGER) AS n_punct,
+                   CAST(list_reduce(list_prepend(0,
+                        list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                       w -> (length(w) + 3) // 4)),
+                        (acc, v) -> acc + v) AS INTEGER) AS n_subwords
             FROM documents
         """,
         "lang_id_histogram": _lang_sql(),

@@ -16,6 +16,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "token_stats",
+    "subword_token_stats",
     "fingerprint",
 ]
 
@@ -118,4 +119,32 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .groupBy("id")
         .agg(F.pmod(F.sum("h"), F.lit(2 ** 48)).cast("long").alias("fingerprint"))
         .orderBy("id")
+    )
+
+
+def subword_token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish regex token counting (the GPT-2 pre-tokenizer shape: letter
+    runs / digit runs / symbol runs), plus a subword estimate that splits
+    each letter run into <=4-char pieces — the usual ~4-chars-per-token
+    budget rule. ASCII character classes only, identical in Java regex
+    (Spark) and RE2 (DuckDB); all JVM-side, scan-speed.
+    """
+    t = F.col(text_col)
+    words = F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)
+    n_words = F.size(words)
+    n_numbers = F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9 ]+"), 0))
+    n_subwords = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.floor((F.length(w) + 3) / F.lit(4)).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_numbers.cast("int").alias("n_numbers"),
+        n_punct.cast("int").alias("n_punct"),
+        n_subwords.cast("int").alias("n_subwords"),
     )
