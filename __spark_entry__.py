@@ -466,6 +466,20 @@ def q_fingerprint48(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the Hamming<=3 simhash near-dup graph
+    (iterative min-label propagation as a driver loop over DataFrame ops;
+    oracle: DuckDB recursive CTE computing the same reachability-min).
+    A dedup pipeline keeps one doc per COMPONENT — pairs alone under-dedup
+    transitive duplicate chains."""
+    docs = _doubled_docs(spark, sf_dir, exact=False)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = dedup.simhash_hamming_pairs(docs, max_hamming=3, max_bucket=50).select(
+        "id_a", "id_b"
+    )
+    return dedup.connected_components(nodes, edges)
+
+
 # =========================================================== text analysis ==
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": q_simhash32,
         "simhash64": q_simhash64,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "neardup_components": q_neardup_components,
         "fingerprint48": q_fingerprint48,
         "token_stats": q_token_stats,
         "subword_token_stats": q_subword_token_stats,
@@ -888,6 +903,40 @@ SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
 FROM cand JOIN ch ca ON ca.id = id_a JOIN ch cb ON cb.id = id_b
 WHERE {ham} <= {max_hamming}
 ORDER BY id_a, id_b
+"""
+
+
+def _neardup_components_sql(max_hamming: int = 3, max_bucket: int = 50) -> str:
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {j} AS band_idx, c{j} AS band_val FROM ch" for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(ca.c{j}, cb.c{j}))" for j in range(4))
+    return f"""
+WITH RECURSIVE docs2 AS ({_DOUBLED_TRUNC}),
+{_simhash64_ctes('docs2')},
+bands AS (
+  {bands}
+),
+ok AS (SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+       HAVING count(*) <= {max_bucket}),
+b2 AS (SELECT b.* FROM bands b JOIN ok USING (band_idx, band_val)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM b2 a JOIN b2 b USING (band_idx, band_val) WHERE a.id < b.id),
+edges AS (
+  SELECT id_a, id_b
+  FROM cand JOIN ch ca ON ca.id = id_a JOIN ch cb ON cb.id = id_b
+  WHERE {ham} <= {max_hamming}),
+sym AS (SELECT id_a AS x, id_b AS y FROM edges
+        UNION ALL SELECT id_b AS x, id_a AS y FROM edges),
+nodes AS (SELECT DISTINCT doc_id AS id FROM docs2),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT s.y AS id, reach.r AS r FROM reach JOIN sym s ON s.x = reach.id
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id ORDER BY id
 """
 
 
@@ -1353,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash32": _simhash_sql(32),
         "simhash64": _simhash64_sql(),
         "simhash_hamming_pairs": _simhash_hamming_sql(),
+        "neardup_components": _neardup_components_sql(),
         "ivf_train_step": _ivf_train_step_sql(),
         "o5_turn_slice": f"""
             SELECT conv_id, turn_idx, payload_kind, extracted_text

@@ -265,3 +265,15 @@ def test_srp_banding_shrinks_buckets(spark):
 
     m4, m6 = max_bucket(4), max_bucket(6)
     assert m6 < m4 * 0.6, (m4, m6)
+
+
+def test_connected_components_transitive(spark):
+    """Chains must collapse: edges (1-2, 2-3) and (10-11) with isolated 20
+    give components {1,2,3}->1, {10,11}->10, {20}->20 — pairs alone would
+    under-dedup the transitive chain."""
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in dedup.connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
