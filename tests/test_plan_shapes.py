@@ -119,3 +119,36 @@ def test_fallback_kernel_runs_once(spark, transcripts_parquet):
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_near_dup_buckets_computed_once(spark):
+    """The SRP bucket columns (planes x dims HOF folds per row) must come
+    from a cached projection — recomputing them per consumer was measured
+    at ~8x the query cost."""
+    import __spark_entry__ as em
+
+    df = em.q_embedding_near_dup(spark, SF)
+    plan = physical_plan(df)
+    assert "InMemoryTableScan" in plan
+
+
+def test_ivf_broadcasts_centroids(spark):
+    """IVF assignment must broadcast the k centroids, never shuffle or
+    cartesian the corpus side."""
+    import __spark_entry__ as em
+
+    for q in (em.q_ivf_assign, em.q_ivf_train_step):
+        plan = physical_plan(q(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_minhash_verify_uses_doc_level_arrays(spark):
+    """The exact-Jaccard verify must intersect per-doc shingle arrays
+    (array_intersect over the single agg), not re-join the exploded
+    shingle stream per candidate side."""
+    import __spark_entry__ as em
+
+    plan = physical_plan(em.q_minhash_lsh_pairs(spark, SF))
+    assert "array_intersect" in plan
+    assert "collect_set" in plan
