@@ -480,6 +480,22 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(nodes, edges)
 
 
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final act: keep exactly ONE doc per near-dup
+    component (the min id — same first-wins rule as D1), emitting survivor
+    rows with their duplicate count."""
+    comp = q_neardup_components(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .select(
+            F.col("component").alias("doc_id"),
+            F.col("n_members"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # =========================================================== text analysis ==
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "neardup_components": q_neardup_components,
+        "neardup_survivors": q_neardup_survivors,
         "fingerprint48": q_fingerprint48,
         "token_stats": q_token_stats,
         "subword_token_stats": q_subword_token_stats,
@@ -1403,6 +1420,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash64_sql(),
         "simhash_hamming_pairs": _simhash_hamming_sql(),
         "neardup_components": _neardup_components_sql(),
+        "neardup_survivors": f"""
+            WITH comp AS ({_neardup_components_sql()})
+            SELECT CAST(component AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM comp GROUP BY component ORDER BY doc_id
+        """,
         "ivf_train_step": _ivf_train_step_sql(),
         "o5_turn_slice": f"""
             SELECT conv_id, turn_idx, payload_kind, extracted_text

@@ -20,13 +20,15 @@ __all__ = [
     "fingerprint",
 ]
 
-# tiny stopword markers per language — a real system uses trained n-gram
+# stopword markers per language — a real system uses trained n-gram
 # profiles; the heuristic shape (marker-frequency argmax) is the same.
+# Marker sets are disjoint across languages (shared stopwords like
+# es/fr 'la' or de 'in' are excluded) so scores stay discriminative.
 _LANG_MARKERS = {
-    "en": [" the ", " and ", " of "],
-    "es": [" el ", " la ", " de "],
-    "de": [" der ", " und ", " die "],
-    "fr": [" le ", " et ", " les "],
+    "en": [" the ", " and ", " of ", " to ", " is ", " that ", " with ", " for "],
+    "es": [" el ", " los ", " las ", " una ", " por ", " como ", " pero ", " su "],
+    "de": [" der ", " und ", " die ", " das ", " nicht ", " ist ", " mit ", " auf "],
+    "fr": [" le ", " et ", " les ", " une ", " dans ", " pour ", " qui ", " au "],
 }
 
 

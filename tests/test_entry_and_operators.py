@@ -277,3 +277,22 @@ def test_connected_components_transitive(spark):
     )
     out = {r["id"]: r["component"] for r in dedup.connected_components(nodes, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_lang_id_discriminates_languages(spark):
+    """The marker profiles must actually separate the four languages (the
+    documents fixture is English-only, so the histogram query alone cannot
+    show discrimination)."""
+    from pdf_parser_spark.operators.text_stats import lang_id
+
+    rows = [
+        ("en", "the cat sat on the mat and most of the story is that simple"),
+        ("es", "el perro corre por la plaza pero los gatos miran como una fiesta su mundo"),
+        ("de", "der hund und die katze sind nicht auf das dach mit dem ball"),
+        ("fr", "le chien et les chats dans une maison pour qui le temps passe au soleil"),
+        ("und", "zxqj vvkpl wrtmn"),
+    ]
+    df = spark.createDataFrame(rows, "expected string, text string")
+    got = df.select("expected", lang_id(F.col("text")).alias("pred")).collect()
+    for r in got:
+        assert r["pred"] == r["expected"], (r["expected"], r["pred"])
