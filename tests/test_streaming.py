@@ -49,3 +49,67 @@ def test_incremental_extraction_exactly_once(spark, transcripts_pdf, tmp_path):
     assert "plain" in kinds and "html" in kinds
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stateful_conversation_progress(spark, transcripts_pdf, tmp_path):
+    """applyInPandasWithState: per-conversation cumulative rollup whose
+    state survives across two AvailableNow runs via the checkpoint — a
+    conversation split across the two input batches must report CUMULATIVE
+    counts in its second-run row."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.pipeline import TRANSCRIPT_SPARK_SCHEMA, extract_turns
+    from pdf_parser_spark.streaming.stateful import conversation_progress
+
+    work = str(tmp_path / "state_stream")
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+
+    first, second = transcripts_pdf.iloc[:300], transcripts_pdf.iloc[300:]
+    _write_slice(first, f"{in_dir}/batch1.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SPARK_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(in_dir)
+        )
+        progress = conversation_progress(extract_turns(stream, salt=False))
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            progress.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    _write_slice(second, f"{in_dir}/batch2.parquet")
+    run_once()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    # latest row per conversation = cumulative truth vs the batch input
+    latest = (
+        out.sort_values("batch_id").groupby("conv_id").last().reset_index()
+    )
+    want = (
+        transcripts_pdf.groupby("conv_id")
+        .agg(n_turns=("turn_idx", "size"), max_turn_idx=("turn_idx", "max"))
+        .reset_index()
+    )
+    merged = latest.merge(want, on="conv_id", suffixes=("", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["n_turns"] == merged["n_turns_want"]).all()
+    assert (merged["max_turn_idx"] == merged["max_turn_idx_want"]).all()
+    # at least one conversation genuinely spanned both runs (state carried)
+    both = set(first["conv_id"]) & set(second["conv_id"])
+    assert both
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
