@@ -569,9 +569,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
     return (
-        emb.select(similarity.srp_bucket(F.col("embedding"), planes=4, dims=64).alias("bucket"))
+        similarity.with_srp_buckets(emb, "embedding", [("bucket", 4, 0)], dims=64)
         .groupBy("bucket")
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("bucket")

@@ -11,12 +11,19 @@ no RNG state; identical across engines and runs.
 """
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "cosine_topk",
     "srp_bucket",
+    "with_srp_buckets",
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
     "ivf_assign",
@@ -106,6 +113,50 @@ def _md5_nibble(p: int, d: int) -> str:
     return hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0]
 
 
+def with_srp_buckets(
+    df: DataFrame,
+    vec_col: str,
+    bucket_specs: list[tuple[str, int, int]],
+    dims: int,
+) -> DataFrame:
+    """Append SRP bucket-id columns via ONE vectorized numpy kernel pass.
+
+    ``bucket_specs`` is a list of (out_col, planes, plane_offset). This is
+    the fast path for ``srp_bucket``: instead of planes x dims interpreted
+    HOF folds per row (boxed, non-codegen — measured 39% of the bench
+    suite), one Arrow crossing computes every plane family's projections as
+    a batched float64 recurrence that is BIT-IDENTICAL to the sequential
+    fold (see ``kernels.vectors.srp_bits_batch``), so the DuckDB oracles and
+    the HOF reference implementation agree exactly (pinned by
+    tests/test_similarity.py::test_srp_kernel_matches_hof).
+
+    Scale shape: narrow map, no shuffle, no state — the bucket column lands
+    before any exchange, so at 100 TB this is scan-speed Arrow batches.
+    """
+    from .. import ship_package
+
+    ship_package(df.sparkSession)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(name, T.StringType(), False) for name, _, _ in bucket_specs]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.vectors import srp_bits_batch
+
+        for pdf in batches:
+            if len(pdf):
+                emb = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                for name, planes, off in bucket_specs:
+                    pdf[name] = srp_bits_batch(emb, planes, dims, off)
+            else:
+                for name, _, _ in bucket_specs:
+                    pdf[name] = pd.Series([], dtype=object)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_id: int = 0,
@@ -117,8 +168,17 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's SRP bucket are
     scored. At 100 TB the bucket column is precomputed+partitioned-by, so a
-    probe reads one partition instead of the corpus (partition pruning)."""
-    bucketed = embeddings.withColumn("bucket", srp_bucket(F.col(vec_col), planes, dims))
+    probe reads one partition instead of the corpus (partition pruning).
+
+    The bucket column comes from the vectorized numpy kernel (one Arrow
+    pass); persisted because it feeds two sub-plans (the query row lookup
+    and the candidate join) and Spark has no cross-branch CSE.
+    """
+    from pyspark import StorageLevel
+
+    bucketed = with_srp_buckets(
+        embeddings, vec_col, [("bucket", planes, 0)], dims
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -312,17 +372,15 @@ def embedding_near_dup_pairs(
     minhash's skew guard. Exact cosine verifies candidates only.
     """
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    buckets = [
-        srp_bucket(F.col("v"), planes, dims, plane_offset=t * planes).alias(f"b{t}")
-        for t in range(n_tables)
-    ]
-    # persist WITH the bucket columns materialized: each bucket id is
-    # planes x dims higher-order-function folds per row (boxed, not
-    # codegen'd), and the plan consumes the bucketed rows from four
-    # sub-plans (sizes, both self-join sides, both verify sides) plus the
-    # final orderBy's range-sampling pass — without this persist the fold
-    # work re-executes ~8x (measured 66 s -> ~7 s at sf0.1)
-    e = e.select("id", "v", *buckets).persist()
+    # persist WITH the bucket columns materialized: the plan consumes the
+    # bucketed rows from four sub-plans (sizes, both self-join sides, both
+    # verify sides) plus the final orderBy's range-sampling pass — without
+    # this persist the bucket kernel's Arrow crossing re-executes ~8x.
+    # Buckets come from the vectorized numpy kernel (one mapInPandas pass,
+    # bit-identical to the old HOF folds — see kernels.vectors).
+    e = with_srp_buckets(
+        e, "v", [(f"b{t}", planes, t * planes) for t in range(n_tables)], dims
+    ).persist()
     stacked = e.select(
         "id",
         F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(

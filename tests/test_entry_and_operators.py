@@ -267,6 +267,28 @@ def test_srp_banding_shrinks_buckets(spark):
     assert m6 < m4 * 0.6, (m4, m6)
 
 
+def test_srp_kernel_matches_hof(spark):
+    """The vectorized numpy SRP kernel must be BIT-identical to the
+    interpreted HOF-fold reference (sign decisions included): same md5
+    planes, same sequential float64 fold order. Covers the ann_lsh config
+    (planes=4, offset 0) and both near-dup plane families (6/0 and 6/6)."""
+    from pdf_parser_spark.operators.similarity import srp_bucket, with_srp_buckets
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    specs = [("k4_0", 4, 0), ("k6_0", 6, 0), ("k6_6", 6, 6)]
+    fast = with_srp_buckets(emb.select("vec_id", "embedding"), "embedding", specs, 64)
+    slow = emb.select(
+        "vec_id",
+        *[
+            srp_bucket(F.col("embedding"), planes, 64, plane_offset=off).alias(name)
+            for name, planes, off in specs
+        ],
+    )
+    f = {r["vec_id"]: (r["k4_0"], r["k6_0"], r["k6_6"]) for r in fast.collect()}
+    s = {r["vec_id"]: (r["k4_0"], r["k6_0"], r["k6_6"]) for r in slow.collect()}
+    assert f == s
+
+
 def test_connected_components_transitive(spark):
     """Chains must collapse: edges (1-2, 2-3) and (10-11) with isolated 20
     give components {1,2,3}->1, {10,11}->10, {20}->20 — pairs alone would

@@ -122,14 +122,19 @@ def test_fallback_kernel_runs_once(spark, transcripts_parquet):
 
 
 def test_embedding_near_dup_buckets_computed_once(spark):
-    """The SRP bucket columns (planes x dims HOF folds per row) must come
-    from a cached projection — recomputing them per consumer was measured
-    at ~8x the query cost."""
+    """The SRP bucket columns must come from the vectorized numpy kernel
+    (one MapInPandas crossing) AND from a cached projection — recomputing
+    them per consumer was measured at ~8x the query cost, and the old
+    per-bit HOF-fold plan (aggregate over zip_with per plane) was 39% of
+    the whole bench suite."""
     import __spark_entry__ as em
 
     df = em.q_embedding_near_dup(spark, SF)
     plan = physical_plan(df)
     assert "InMemoryTableScan" in plan
+    assert "MapInPandas" in plan  # bucket projection is the numpy kernel
+    # (zip_with still legitimately appears once: the exact-cosine verify
+    # over the candidate pairs — a candidates-only cost, not per-corpus-row)
 
 
 def test_ivf_broadcasts_centroids(spark):
