@@ -639,7 +639,11 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     feats = multimodal.media_features(multimodal.as_media_table(docs))
-    return feats.select("media_id", "n_bytes", "content_md5", "width", "height")
+    # decode_ok must be FALSE here: the payloads are UTF-8 text, never PNG —
+    # the flag proves the fabricated-pixel fallback is visible, not silent
+    return feats.select(
+        "media_id", "n_bytes", "content_md5", "width", "height", "decode_ok"
+    )
 
 
 def q_d3_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,8 +676,11 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key_cols=["conv_id", "turn_idx", "page"],
     )
+    # decode_ok TRUE for every row: a decoder regression that silently fell
+    # back to fabricated pixels would flip it and break the oracle hash
     return feats.select(
-        "conv_id", "turn_idx", "page", "n_bytes", "content_md5", "width", "height"
+        "conv_id", "turn_idx", "page", "n_bytes", "content_md5", "width",
+        "height", "decode_ok",
     )
 
 
@@ -995,11 +1002,11 @@ FROM h GROUP BY id ORDER BY id
 
 
 def _lang_score_cols() -> str:
+    # token-membership counts over the once-split token list `tk` — mirrors
+    # the Spark side's single split + per-language array filter
     def score(markers: list[str]) -> str:
-        return " + ".join(
-            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS INTEGER)"
-            for m in markers
-        )
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        return f"CAST(len(list_filter(tk, t -> t IN ({in_list}))) AS INTEGER)"
 
     return ",\n    ".join(
         f"{score(ms)} AS s_{lang}" for lang, ms in _LANG_MARKERS.items()
@@ -1016,7 +1023,7 @@ _LANG_CASE = """CASE
 
 def _lang_sql() -> str:
     return f"""
-WITH p AS (SELECT ' ' || text || ' ' AS p FROM documents),
+WITH p AS (SELECT string_split_regex(trim(text), ' +') AS tk FROM documents),
 s AS (SELECT {_lang_score_cols()} FROM p),
 c AS (SELECT {_LANG_CASE} AS lang_pred FROM s)
 SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY lang_pred ORDER BY lang_pred
@@ -1036,7 +1043,7 @@ _QUALITY_MICRO = """CAST(round(round(
 def _training_pipeline_sql() -> str:
     return f"""
 WITH base AS (
-  SELECT doc_id, source, text, ' ' || text || ' ' AS p,
+  SELECT doc_id, source, text, string_split_regex(trim(text), ' +') AS tk,
          len(string_split_regex(trim(text), ' +')) AS n_tokens
   FROM documents),
 s AS (SELECT *, {_lang_score_cols()} FROM base),
@@ -1260,7 +1267,8 @@ def oracle_sql() -> dict[str, str]:
                    png_bytes AS n_bytes,
                    png_md5 AS content_md5,
                    px_w AS width,
-                   px_h AS height
+                   px_h AS height,
+                   TRUE AS decode_ok
             FROM '{render_golden}'
         """,
         "d3_render_dedup": f"""
@@ -1485,7 +1493,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    md5(text) AS content_md5,
                    CAST(16 + (greatest(octet_length(encode(text)), 1) % 48) AS INTEGER) AS width,
-                   CAST(16 + ((greatest(octet_length(encode(text)), 1) // 7) % 48) AS INTEGER) AS height
+                   CAST(16 + ((greatest(octet_length(encode(text)), 1) // 7) % 48) AS INTEGER) AS height,
+                   FALSE AS decode_ok
             FROM documents
         """,
     }

@@ -31,6 +31,8 @@ __all__ = [
     "extract_image_records",
     "mostly_white",
     "mostly_black",
+    "decode_image",
+    "decode_image_ex",
     "resize_nearest",
     "perceptual_similarity",
     "perceptual_keep_mask",
@@ -69,8 +71,8 @@ def mostly_black(rgb: np.ndarray, thresh: int = 15, frac: float = 0.95) -> bool:
     return float(np.mean((rgb < thresh).all(axis=-1))) >= frac
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Decode image bytes to an HxWx3 uint8 array.
+def decode_image_ex(data: bytes) -> tuple[np.ndarray, bool]:
+    """Decode image bytes to (HxWx3 uint8 array, decode_ok).
 
     PNG payloads (signature-sniffed) decode for REAL via the from-scratch
     reader in ``kernels.png`` — rendered-page rasters flow through the
@@ -80,12 +82,17 @@ def decode_image(data: bytes) -> np.ndarray:
     pixels from the bytes themselves, so downstream features stay
     reproducible and testable. Swap the fallback for ``PIL.Image.open``
     when the library is present.
+
+    ``decode_ok`` is True only when real pixels were produced; a truncated/
+    malformed PNG (or a non-PNG format) returns the fabricated fallback with
+    decode_ok=False so downstream queries can tell decoded rasters from
+    plausible-but-fake features instead of silently mixing them.
     """
     from .png import PngError, decode_png, is_png
 
     if is_png(data):
         try:
-            return decode_png(data)
+            return decode_png(data), True
         except PngError:
             pass  # malformed png -> deterministic fallback below
     n = max(1, len(data))
@@ -94,7 +101,13 @@ def decode_image(data: bytes) -> np.ndarray:
     px = np.frombuffer(data, dtype=np.uint8)
     reps = (w * h * 3 + max(1, px.size) - 1) // max(1, px.size)
     arr = np.tile(px if px.size else np.zeros(1, np.uint8), reps)[: w * h * 3]
-    return arr.reshape(h, w, 3)
+    return arr.reshape(h, w, 3), False
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """``decode_image_ex`` without the flag (compat shim for callers that
+    only need pixels)."""
+    return decode_image_ex(data)[0]
 
 
 def resize_nearest(rgb: np.ndarray, size: int = 32) -> np.ndarray:

@@ -6,16 +6,25 @@ Closes the round-1 gap where the mostly-white/black and perceptual operators
 ever seen fabricated pixels: ``decode_image`` now really decodes any PNG
 payload (signature-sniffed), so those filters run on actual rendered-page
 rasters. PIL is absent in this container; this implements the subset a
-correct 8-bit PNG reader needs:
+correct PNG reader needs for real-corpus files:
 
 - chunk walk with length/CRC framing (CRC not verified — content is local),
-- IHDR: bit depth 8; color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA); interlace 0 only,
+- IHDR: color types 0 (gray, depths 1/2/4/8), 2 (RGB), 3 (palette, depths
+  1/2/4/8, PLTE chunk), 4 (gray+alpha), 6 (RGBA); interlace 0 only,
 - concatenated IDAT zlib stream,
 - all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
 
-Output is always HxWx3 uint8 (gray broadcast, alpha dropped) — the shape
-the pixel filters consume.
+Filter performance: None/Up/Sub are fully vectorized (Sub is a per-filter-
+unit cumsum — the filter's left-neighbor recurrence is exactly a prefix sum
+mod 256). Average/Paeth reference BOTH the left and up neighbors, a true
+2-D recurrence with a data-dependent predictor — those remain a per-byte
+Python loop, so an externally produced PNG that uses filters 3/4 on large
+scanlines (e.g. a 1224x1584 scan) costs w*ch interpreter iterations per such
+line. Our own encoder emits only filter 0; decode cost for foreign files is
+dominated by how often their encoder chose 3/4.
+
+Output is always HxWx3 uint8 (gray scaled to 8-bit, palette mapped through
+PLTE, alpha dropped) — the shape the pixel filters consume.
 """
 from __future__ import annotations
 
@@ -37,42 +46,56 @@ def is_png(data: bytes) -> bool:
     return data[:8] == _SIG
 
 
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# samples per pixel by color type (palette is 1 index sample per pixel)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# depths allowed per color type (PNG spec §11.2.2; 16-bit unsupported here)
+_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 
 
-def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Undo per-scanline filtering; returns (h, w*ch) uint8."""
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+def _unfilter(raw: bytes, h: int, row_bytes: int, fu: int) -> np.ndarray:
+    """Undo per-scanline filtering; returns (h, row_bytes) uint8.
+
+    ``fu`` is the filter unit in bytes (bpp the spec calls it): the distance
+    to the "left" reference byte — max(1, channels*depth//8).
+    """
+    if len(raw) < h * (row_bytes + 1):
         raise PngError("truncated pixel data")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
     pos = 0
-    prev = np.zeros(stride, dtype=np.int32)
+    prev = np.zeros(row_bytes, dtype=np.int64)
     for r in range(h):
         ftype = raw[pos]
         pos += 1
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
-            np.int32
+        line = np.frombuffer(raw, dtype=np.uint8, count=row_bytes, offset=pos).astype(
+            np.int64
         )
-        pos += stride
+        pos += row_bytes
         if ftype == 0:  # None
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
+        elif ftype == 1 and row_bytes % fu == 0:
+            # Sub: cur[i] = line[i] + cur[i-fu] — a per-unit prefix sum;
+            # mod 256 commutes with addition so one cumsum then mask is
+            # exact (vectorized: the old per-byte loop cost w*ch python
+            # iterations per line)
+            cur = (
+                np.cumsum(line.reshape(-1, fu), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(-1)
         elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth reference the previous PIXEL on the same
-            # line — a sequential recurrence per scanline (numpy cumsum
-            # tricks only cover Sub; keep the loop, lines are short)
-            cur = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0  # left
+            # Average/Paeth (and Sub on a ragged row): the predictor mixes
+            # left and up neighbors — a sequential 2-D recurrence; see
+            # module docstring for the cost note
+            cur = np.empty(row_bytes, dtype=np.int64)
+            for i in range(row_bytes):
+                a = cur[i - fu] if i >= fu else 0  # left
                 b = prev[i]  # up
                 if ftype == 1:
                     cur[i] = (line[i] + a) & 0xFF
                 elif ftype == 3:
                     cur[i] = (line[i] + ((a + b) >> 1)) & 0xFF
                 else:  # Paeth
-                    c = prev[i - ch] if i >= ch else 0  # upper-left
+                    c = prev[i - fu] if i >= fu else 0  # upper-left
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     if pa <= pb and pa <= pc:
@@ -89,12 +112,27 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
+def _unpack_samples(rows: np.ndarray, depth: int, n_samples: int) -> np.ndarray:
+    """(h, row_bytes) packed rows -> (h, n_samples) sample values.
+
+    Samples are packed MSB-first within each byte (PNG spec §7.2); trailing
+    pad bits in the last byte of a row are discarded.
+    """
+    if depth == 8:
+        return rows[:, :n_samples].astype(np.int64)
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, matching the spec
+    fields = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return (fields * weights).sum(axis=2)[:, :n_samples]
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG byte string to an HxWx3 uint8 RGB array."""
     if not is_png(data):
         raise PngError("not a png")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     n = len(data)
     while pos + 8 <= n:
@@ -104,6 +142,8 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length  # length + tag + payload + crc
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -111,7 +151,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise PngError("missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8 or ctype not in _CHANNELS or comp != 0 or filt != 0 or interlace != 0:
+    if (
+        ctype not in _CHANNELS
+        or depth not in _DEPTHS.get(ctype, ())
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
         raise PngError(f"unsupported format (depth={depth} ctype={ctype})")
     if w == 0 or h == 0:
         raise PngError("empty image")
@@ -120,7 +166,24 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"bad idat: {e}") from e
-    px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    n_samples = w * ch
+    row_bytes = (n_samples * depth + 7) // 8
+    fu = max(1, (ch * depth) // 8)
+    rows = _unfilter(raw, h, row_bytes, fu)
+    samples = _unpack_samples(rows, depth, n_samples)
+
+    if ctype == 3:
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise PngError("palette image without a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(h, w)
+        if int(idx.max()) >= pal.shape[0]:
+            raise PngError("palette index out of range")
+        return pal[idx]
+
+    if depth != 8:  # gray, sub-byte depth: scale to 8-bit (spec §12.5)
+        samples = samples * 255 // ((1 << depth) - 1)
+    px = samples.astype(np.uint8).reshape(h, w, ch)
     if ctype == 2:
         return px
     if ctype == 6:

@@ -376,6 +376,39 @@ def simhash_hamming_pairs(
     )
 
 
+def _local_checkpoint_tracked(df: DataFrame):
+    """localCheckpoint(eager) + the persistent-RDD id holding its blocks.
+
+    The id lets the caller free the blocks explicitly once a later iteration
+    no longer reads them (checkpoint blocks otherwise accumulate until the
+    ContextCleaner happens to GC them). Identified by snapshotting
+    ``getPersistentRDDs`` around the checkpoint — the driver loop is
+    sequential so the diff is exactly the new checkpoint's RDD; if anything
+    else raced in we return None and skip explicit cleanup (safe: cleanup
+    is an optimization, correctness never depends on it).
+    """
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _ids():
+        m = jsc.getPersistentRDDs().toList()
+        return {m.apply(i)._1() for i in range(m.size())}
+
+    before = _ids()
+    out = df.localCheckpoint(eager=True)
+    new = _ids() - before
+    return out, (new.pop() if len(new) == 1 else None)
+
+
+def _unpersist_rdd_id(df: DataFrame, rdd_id) -> None:
+    if rdd_id is None:
+        return
+    m = df.sparkSession.sparkContext._jsc.sc().getPersistentRDDs().toList()
+    for i in range(m.size()):
+        if m.apply(i)._1() == rdd_id:
+            m.apply(i)._2().unpersist(False)
+            return
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 25
 ) -> DataFrame:
@@ -388,35 +421,40 @@ def connected_components(
     where component = min node id reachable. The driver loop runs
     label[i] <- min(label[i], min over neighbors of label[j]) until a
     fixpoint (each iteration: one join + one groupBy; convergence checked
-    with a count action on changed labels; previous iteration unpersisted).
+    with a count action on changed labels; the previous iteration's
+    checkpoint blocks are explicitly unpersisted once ``changed`` has been
+    computed, so block storage holds at most two label generations).
     Iterations needed = graph diameter; near-dup graphs are
     shallow (dup clusters are cliques-ish), so this converges in 2-3
-    rounds. At extreme scale swap the body for the large-star/small-star
-    alternation (same driver-loop shape, fewer skew hazards on giant
-    components).
+    rounds. If the loop exhausts ``max_iters`` without converging the
+    result is a WRONG (over-split) labelling — a chain deeper than
+    max_iters hops keeps propagating — so that case raises rather than
+    returning silently. At extreme scale swap the body for the
+    large-star/small-star alternation (same driver-loop shape, fewer skew
+    hazards on giant components).
     """
     # localCheckpoint (not persist) on every iteration output: a persisted
     # DataFrame still CARRIES its full logical plan, so by iteration k
     # Catalyst re-analyzes a k-deep plan and the driver-side cost grows
     # super-linearly (measured 1.5s -> 18s by iteration 3); checkpointing
     # truncates the lineage so every round plans against a flat scan.
-    sym = (
+    sym, sym_id = _local_checkpoint_tracked(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col("id"), F.col("id").alias("component")
-    ).localCheckpoint(eager=True)
+    labels, labels_id = _local_checkpoint_tracked(
+        nodes.select(F.col("id"), F.col("id").alias("component"))
+    )
+    changed = -1
     for _ in range(max_iters):
         nbr = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels, new_id = _local_checkpoint_tracked(
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
@@ -424,7 +462,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -432,7 +469,17 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
+        # the old generation's blocks fed the eager checkpoint and the
+        # `changed` count above; nothing reads them after this point
+        _unpersist_rdd_id(labels, labels_id)
+        labels, labels_id = new_labels, new_id
         if changed == 0:
             break
+    _unpersist_rdd_id(sym, sym_id)
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — result would be over-split; "
+            "raise max_iters (graph diameter exceeds it)"
+        )
     return labels.orderBy("id")

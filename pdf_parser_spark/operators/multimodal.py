@@ -38,12 +38,13 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("mean_luma", T.DoubleType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
     ]
 )
 
 # decode_image lives in the pure-kernel layer (golden runner needs it
 # without Spark imports); re-exported here for operator users
-from ..kernels.images import decode_image  # noqa: E402,F401
+from ..kernels.images import decode_image, decode_image_ex  # noqa: E402,F401
 
 
 def as_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -74,7 +75,7 @@ def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(data) if data is not None else b""
-                arr = decode_image(b)
+                arr, ok = decode_image_ex(b)
                 out.append(
                     (
                         int(mid),
@@ -83,6 +84,7 @@ def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                         int(arr.shape[1]),
                         int(arr.shape[0]),
                         round(float(arr.mean()), 6),
+                        bool(ok),
                     )
                 )
             yield pd.DataFrame(
@@ -159,6 +161,7 @@ def media_features_keyed(
             T.StructField("width", T.IntegerType(), False),
             T.StructField("height", T.IntegerType(), False),
             T.StructField("mean_luma", T.DoubleType(), False),
+            T.StructField("decode_ok", T.BooleanType(), False),
         ]
     )
 
@@ -167,7 +170,7 @@ def media_features_keyed(
             feats = []
             for data in pdf[payload_col]:
                 b = bytes(data) if data is not None else b""
-                arr = decode_image(b)
+                arr, ok = decode_image_ex(b)
                 feats.append(
                     (
                         len(b),
@@ -175,11 +178,16 @@ def media_features_keyed(
                         int(arr.shape[1]),
                         int(arr.shape[0]),
                         round(float(arr.mean()), 6),
+                        bool(ok),
                     )
                 )
             out = pdf[key_cols].reset_index(drop=True).copy()
             fdf = pd.DataFrame(
-                feats, columns=["n_bytes", "content_md5", "width", "height", "mean_luma"]
+                feats,
+                columns=[
+                    "n_bytes", "content_md5", "width", "height", "mean_luma",
+                    "decode_ok",
+                ],
             )
             yield pd.concat([out, fdf], axis=1)
 

@@ -25,10 +25,10 @@ __all__ = [
 # Marker sets are disjoint across languages (shared stopwords like
 # es/fr 'la' or de 'in' are excluded) so scores stay discriminative.
 _LANG_MARKERS = {
-    "en": [" the ", " and ", " of ", " to ", " is ", " that ", " with ", " for "],
-    "es": [" el ", " los ", " las ", " una ", " por ", " como ", " pero ", " su "],
-    "de": [" der ", " und ", " die ", " das ", " nicht ", " ist ", " mit ", " auf "],
-    "fr": [" le ", " et ", " les ", " une ", " dans ", " pour ", " qui ", " au "],
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "los", "las", "una", "por", "como", "pero", "su"],
+    "de": ["der", "und", "die", "das", "nicht", "ist", "mit", "auf"],
+    "fr": ["le", "et", "les", "une", "dans", "pour", "qui", "au"],
 }
 
 
@@ -43,16 +43,23 @@ def occurrences(col: Column, needle: str) -> Column:
 def lang_id(text_col: Column) -> Column:
     """Marker-frequency argmax over the language profiles; 'und' if no hit.
 
+    Scores are TOKEN counts: the text is whitespace-split ONCE, then each
+    language's score is one array-membership pass over the token array —
+    1 split + |langs| passes total, replacing the old per-marker
+    length/replace arithmetic (2 full string passes x 32 markers = ~64
+    scans per row; at 100 TB the scan cost dominated the whole operator —
+    VERDICT r02 "what's wrong" #3).
+
     Deterministic tie-break: languages are checked in fixed order and a
     strictly-greater score is required to switch, so ties go to the earlier
     language. The running-best is expressed with greatest() over score
     prefixes instead of nesting F.when trees (nesting re-embeds every score
     expression at each level — the codegen blow-up made this 10x slower).
     """
-    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    toks = F.split(F.trim(text_col), " +")
     langs = list(_LANG_MARKERS)
     scores = {
-        lang: sum_cols([occurrences(padded, m) for m in markers])
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
         for lang, markers in _LANG_MARKERS.items()
     }
     # winner = last lang in order that strictly beats the max of its prefix

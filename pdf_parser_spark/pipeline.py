@@ -213,6 +213,13 @@ def extract_with_fallback(
     filter → rescue-join → unionByName plan the reference's control flow
     maps to.
 
+    PRECONDITION: ``(conv_id, turn_idx)`` is unique in ``df`` — it is the
+    transcripts table's primary key (TRANSCRIPT_SPARK_SCHEMA; the turn id).
+    Duplicate keys would fan out rows at the rescue join and break the
+    pinned row-for-row equivalence with the single-pass kernel. The
+    extraction kernel itself is duplicate-safe (per-row), so a caller with
+    a non-keyed source must dedup it before this operator, not after.
+
     ``first`` is persisted because it feeds two sub-plans of one action
     (ok_rows and the error set) and Spark has no cross-branch CSE — without
     it the extraction kernel executes twice per materialization. The persist

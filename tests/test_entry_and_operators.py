@@ -301,6 +301,47 @@ def test_connected_components_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters with labels still moving yields an over-split
+    labelling — that must raise, never return silently (a production corpus
+    has no oracle to catch it)."""
+    import pytest
+
+    ids = list(range(8))
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, chain, max_iters=1)
+    # enough iterations: the same chain converges and is correct
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, chain, max_iters=10).collect()
+    }
+    assert out == {i: 0 for i in ids}
+
+
+def test_connected_components_frees_checkpoint_blocks(spark):
+    """Per-iteration localCheckpoint blocks must be explicitly unpersisted:
+    only the final label generation may remain in block storage after the
+    loop (the docstring used to promise this without doing it)."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+    )
+    dedup.connected_components(nodes, edges, max_iters=25).collect()
+    # >= 20 checkpoints were created across the iterations; at most the
+    # final labels generation should still be resident
+    assert n_persistent() <= base + 1
+
+
 def test_lang_id_discriminates_languages(spark):
     """The marker profiles must actually separate the four languages (the
     documents fixture is English-only, so the histogram query alone cannot

@@ -1,0 +1,158 @@
+"""PNG decoder vectors: palette (color type 3), sub-byte depths, and the
+vectorized Sub filter — real-corpus shapes that previously raised and fell
+back to fabricated pixels (VERDICT r02 finding #4 / next-round task 7).
+
+Vectors are hand-assembled chunk streams (spec-by-construction, no shared
+code with the decoder beyond zlib), so these are independent oracles.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark.kernels.png import PngError, decode_png
+
+SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(w, h, depth, ctype, raw_rows: bytes, plte: bytes | None = None) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(raw_rows))
+    return out + chunk(b"IEND", b"")
+
+
+def pack_bits(values, depth):
+    """Pack sample values MSB-first at the given depth into row bytes."""
+    bits = []
+    for v in values:
+        bits += [(v >> (depth - 1 - i)) & 1 for i in range(depth)]
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[k : k + 8]))
+        for k in range(0, len(bits), 8)
+    )
+
+
+def test_palette_depth8():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    rows = b"\x00" + bytes([0, 1, 2])  # filter 0, indices 0 1 2
+    img = decode_png(make_png(3, 1, 8, 3, rows, plte))
+    assert img.shape == (1, 3, 3)
+    assert img.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255]]]
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_palette_low_depth(depth):
+    n_colors = 1 << depth
+    plte = bytes(v for i in range(n_colors) for v in (i * 10, i * 11, i * 12))
+    idx = [i % n_colors for i in range(7)]  # 7 px: exercises row padding
+    rows = b"\x00" + pack_bits(idx, depth)
+    img = decode_png(make_png(7, 1, depth, 3, rows, plte))
+    assert img.shape == (1, 7, 3)
+    for x, i in enumerate(idx):
+        assert img[0, x].tolist() == [i * 10, i * 11, i * 12]
+
+
+@pytest.mark.parametrize(
+    "depth,values,expected_gray",
+    [
+        (1, [0, 1, 1, 0, 1], [0, 255, 255, 0, 255]),
+        (2, [0, 1, 2, 3, 2], [0, 85, 170, 255, 170]),
+        (4, [0, 5, 15, 8, 1], [0, 85, 255, 136, 17]),
+    ],
+)
+def test_gray_low_depth_scaling(depth, values, expected_gray):
+    rows = b"\x00" + pack_bits(values, depth)
+    img = decode_png(make_png(len(values), 1, depth, 0, rows))
+    assert img.shape == (1, len(values), 3)
+    assert img[0, :, 0].tolist() == expected_gray
+    assert (img[0, :, 0] == img[0, :, 1]).all() and (img[0, :, 0] == img[0, :, 2]).all()
+
+
+def test_sub_filter_vectorized_rgb():
+    """Filter 1 (Sub) over RGB: decoded row must equal the prefix sum mod
+    256 per channel — checked against an independently computed expected."""
+    w, h = 5, 2
+    deltas = np.arange(w * 3, dtype=np.uint8).reshape(w, 3) * 7
+    expected_row = np.cumsum(deltas.astype(np.int64), axis=0) & 0xFF
+    raw = b""
+    for _ in range(h):
+        raw += b"\x01" + deltas.tobytes()
+    img = decode_png(make_png(w, h, 8, 2, raw))
+    for r in range(h):
+        assert img[r].tolist() == expected_row.tolist()
+
+
+def test_up_and_paeth_filters():
+    """Row 0 via Sub, row 1 via Up, row 2 via Paeth — cross-row predictors."""
+    w = 4
+    row0 = bytes([10, 20, 30, 40])
+    raw = b"\x01" + row0  # Sub: cumsum -> 10 30 60 100
+    raw += b"\x02" + bytes([1, 1, 1, 1])  # Up: 11 31 61 101
+    # Paeth with a=left(decoded), b=up, c=up-left; first byte: a=c=0 -> pred=b
+    raw += b"\x04" + bytes([5, 0, 0, 0])
+    img = decode_png(make_png(w, 3, 8, 0, raw))
+    g = img[:, :, 0]
+    assert g[0].tolist() == [10, 30, 60, 100]
+    assert g[1].tolist() == [11, 31, 61, 101]
+    # row2: b0 = 5 + up(11) = 16; then predictors follow the spec
+    assert g[2, 0] == 16
+
+
+def test_palette_without_plte_raises():
+    rows = b"\x00" + bytes([0])
+    with pytest.raises(PngError, match="PLTE"):
+        decode_png(make_png(1, 1, 8, 3, rows))
+
+
+def test_palette_index_out_of_range_raises():
+    plte = bytes([1, 2, 3])  # one color
+    rows = b"\x00" + bytes([4])
+    with pytest.raises(PngError, match="out of range"):
+        decode_png(make_png(1, 1, 8, 3, rows, plte))
+
+
+def test_unsupported_depth16_raises():
+    rows = b"\x00" + bytes(8)
+    with pytest.raises(PngError, match="unsupported"):
+        decode_png(make_png(2, 1, 16, 0, rows))
+
+
+def test_malformed_png_surfaces_fallback():
+    """A truncated PNG must NOT produce silently-plausible features:
+    decode_image_ex flags the fabricated fallback (ADVICE r02 #3)."""
+    from pdf_parser_spark.kernels.images import decode_image_ex
+    from pdf_parser_spark.kernels.render import encode_png
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(rgb)
+    arr, ok = decode_image_ex(good)
+    assert ok and arr.shape == (4, 4, 3)
+    truncated = good[: len(good) // 2]
+    arr, ok = decode_image_ex(truncated)
+    assert not ok  # fabricated pixels, visibly flagged
+    arr, ok = decode_image_ex(b"plain text payload")
+    assert not ok
+
+
+def test_roundtrip_with_own_encoder_still_green():
+    from pdf_parser_spark.kernels.render import encode_png
+
+    rgb = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3) * 3) & 0xFF
+    assert (decode_png(encode_png(rgb)) == rgb).all()
