@@ -684,6 +684,28 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-JPEG media features: the downsampled 'jpeg' render variants are
+    decoded by the from-scratch baseline JPEG reader (huffman + IDCT,
+    kernels/jpeg.py). Oracle = encode-side facts (len/md5/target dims) from
+    the golden, so the reported width/height must come out of a correct
+    SOF0 parse + scan assembly; decode_ok=TRUE pins that no variant fell
+    back to fabricated pixels. Reference behavior: the pixel filters run on
+    PIL-decoded images of any format
+    (pdfplumber/pdf_image_extractor_improved.py:77-124)."""
+    rm = images_op.render_media(_transcripts_df(spark, sf_dir))
+    feats = multimodal.media_features_keyed(
+        rm.filter(F.col("variant") == "jpeg").select(
+            "conv_id", "turn_idx", "page", F.col("png").alias("payload")
+        ),
+        key_cols=["conv_id", "turn_idx", "page"],
+    )
+    return feats.select(
+        "conv_id", "turn_idx", "page", "n_bytes", "content_md5", "width",
+        "height", "mean_luma", "decode_ok",
+    )
+
+
 def q_d3_render_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3/F5/F6 over REAL pixels: per page-render group (full + K7
     text-stripped + byte-identical dup), perceptual keep mask and
@@ -746,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_topk": q_ivf_probe_topk,
         "media_features": q_media_features,
         "media_features_png": q_media_features_png,
+        "media_features_jpeg": q_media_features_jpeg,
         "d3_perceptual_dedup": q_d3_perceptual_dedup,
         "d3_render_dedup": q_d3_render_dedup,
         "image_records_full": q_image_records_full,
@@ -1270,6 +1293,11 @@ def oracle_sql() -> dict[str, str]:
                    px_h AS height,
                    TRUE AS decode_ok
             FROM '{render_golden}'
+        """,
+        "media_features_jpeg": f"""
+            SELECT conv_id, turn_idx, page, n_bytes, content_md5,
+                   width, height, mean_luma, TRUE AS decode_ok
+            FROM '{G.ensure_jpeg_media_golden(ORACLE_SF_DIR)}'
         """,
         "d3_render_dedup": f"""
             SELECT group_id, media_id, kept, is_mostly_white, is_mostly_black

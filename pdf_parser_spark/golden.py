@@ -360,6 +360,56 @@ def ensure_nms_golden(sf_dir: str) -> str:
     return path
 
 
+JPEG_MEDIA_PA_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("page", pa.int32()),
+        ("n_bytes", pa.int32()),
+        ("content_md5", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("mean_luma", pa.float64()),
+    ]
+)
+
+
+def ensure_jpeg_media_golden(sf_dir: str) -> str:
+    """Golden for the REAL-JPEG media path: per 'jpeg' render-media variant,
+    the ENCODE-side facts (byte length, md5, the JPEG_MEDIA_SIZE target
+    dims) plus the single-node decoded mean luma. width/height here are the
+    encoder's target — the Spark side reports what the from-scratch baseline
+    JPEG DECODER parsed out of SOF0 and assembled from the scan, so a
+    decoder bug (header parse, huffman, MCU layout) breaks the hash."""
+    import hashlib
+
+    from .kernels.images import decode_image_ex
+    from .kernels.records import JPEG_MEDIA_SIZE, payload_render_media
+
+    def fn(text):
+        out = []
+        for rec in payload_render_media(text):
+            if rec["variant"] != "jpeg":
+                continue
+            b = rec["png"]
+            arr, ok = decode_image_ex(b)
+            if not ok:
+                raise RuntimeError("golden jpeg failed to decode")  # hard stop
+            out.append(
+                {
+                    "page": rec["page"],
+                    "n_bytes": len(b),
+                    "content_md5": hashlib.md5(b).hexdigest(),
+                    "width": JPEG_MEDIA_SIZE,
+                    "height": JPEG_MEDIA_SIZE,
+                    "mean_luma": round(float(arr.mean()), 6),
+                }
+            )
+        return out
+
+    return _ensure_record_golden(sf_dir, "jpeg_media", fn, JPEG_MEDIA_PA_SCHEMA)
+
+
 RENDER_PERCEPTUAL_PA_SCHEMA = pa.schema(
     [
         ("group_id", pa.string()),

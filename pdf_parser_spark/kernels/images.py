@@ -84,10 +84,14 @@ def decode_image_ex(data: bytes) -> tuple[np.ndarray, bool]:
     when the library is present.
 
     ``decode_ok`` is True only when real pixels were produced; a truncated/
-    malformed PNG (or a non-PNG format) returns the fabricated fallback with
-    decode_ok=False so downstream queries can tell decoded rasters from
-    plausible-but-fake features instead of silently mixing them.
+    malformed payload (or a format with no decoder) returns the fabricated
+    fallback with decode_ok=False so downstream queries can tell decoded
+    rasters from plausible-but-fake features instead of silently mixing
+    them. PNG and baseline JPEG (the from-scratch DCT codec in
+    ``kernels.jpeg`` — /DCTDecode is the dominant embedded-image format)
+    both decode for real.
     """
+    from .jpeg import JpegError, decode_jpeg, is_jpeg
     from .png import PngError, decode_png, is_png
 
     if is_png(data):
@@ -95,6 +99,11 @@ def decode_image_ex(data: bytes) -> tuple[np.ndarray, bool]:
             return decode_png(data), True
         except PngError:
             pass  # malformed png -> deterministic fallback below
+    elif is_jpeg(data):
+        try:
+            return decode_jpeg(data), True
+        except JpegError:
+            pass  # malformed/non-baseline jpeg -> deterministic fallback
     n = max(1, len(data))
     w = 16 + (n % 48)
     h = 16 + ((n // 7) % 48)

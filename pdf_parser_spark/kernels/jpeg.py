@@ -1,0 +1,536 @@
+"""From-scratch baseline JPEG codec (stdlib + numpy) — the DCT counterpart
+of ``png.py``, closing VERDICT r02 gap #1: embedded PDF images are
+predominantly /DCTDecode and previously always fell back to fabricated
+pixels (``pdfplumber/pdf_image_extractor_improved.py:77-124`` runs its pixel
+filters on PIL-decoded images of any format).
+
+Decoder (``decode_jpeg``) — general baseline (SOF0) reader:
+- marker walk: DQT (8-bit tables), DHT (canonical bits/huffval), SOF0,
+  SOS, DRI + RSTn restart handling, EOI; APPn/COM skipped,
+- arbitrary per-component sampling factors in {1, 2} (covers 4:4:4, 4:2:2,
+  4:2:0 — what libjpeg-encoded corpus files actually use), nearest-neighbor
+  chroma upsampling,
+- entropy-coded segment with 0xFF00 byte-unstuffing, per-component DC
+  prediction, vectorized (einsum) 8x8 IDCT, JFIF YCbCr->RGB,
+- raises ``JpegError`` on progressive (SOF2) / arithmetic / 16-bit-quant /
+  >2 sampling files, so callers fall back VISIBLY (decode_ok=False).
+
+Encoder (``encode_jpeg``) — deterministic baseline writer used by the
+render-media pipeline and the test vectors: 4:4:4 or 4:2:0, the Annex-K
+example quantization tables, and SELF-DEFINED flat canonical Huffman tables
+(all DC symbols at 4 bits, all 162 AC symbols at 8 bits — valid per the
+spec, carried in DHT, and never emitting the all-ones code). Any conformant
+baseline decoder reads its output; table choice only costs compression.
+
+Everything is integer/float64-deterministic: no RNG, no platform-dependent
+fast paths.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["is_jpeg", "decode_jpeg", "encode_jpeg", "JpegError"]
+
+
+class JpegError(ValueError):
+    pass
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == b"\xff\xd8"
+
+
+# ------------------------------------------------------------- DCT basis ---
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCTM = _dct_matrix()
+
+# Annex K.1/K.2 example quantization tables (row-major)
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+# --------------------------------------------------------- huffman tables ---
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical code assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# encoder tables: flat canonical layouts (see module docstring)
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_AC_VALS = sorted(_AC_SYMBOLS)
+_ENC_DC = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+_ENC_AC = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+# ---------------------------------------------------------------- encoder ---
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=0)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (n_blocks_v, n_blocks_h, 8, 8), edge-padded by replication."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bv, bh = p.shape[0] // 8, p.shape[1] // 8
+    return p.reshape(bv, 8, bh, 8).transpose(0, 2, 1, 3)
+
+
+def _encode_plane_blocks(blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """DCT + quantize: (..., 8, 8) -> int zigzag coefficients (..., 64)."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ux,...xy,vy->...uv", _DCTM, shifted, _DCTM)
+    q = qt.reshape(8, 8).astype(np.float64)
+    quant = np.round(coef / q).astype(np.int64)
+    return quant.reshape(*quant.shape[:-2], 64)[..., _ZIGZAG]
+
+
+def encode_jpeg(rgb: np.ndarray, subsample: bool = False) -> bytes:
+    """Encode an HxWx3 uint8 array as a baseline JFIF JPEG.
+
+    ``subsample=True`` emits 4:2:0 (luma 2x2 per MCU), else 4:4:4.
+    """
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise JpegError("expected HxWx3")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    ycc = _rgb_to_ycbcr(rgb)
+    if subsample:
+        # chroma: average each 2x2 (pad to even first)
+        ph, pw = -h % 2, -w % 2
+        cc = np.pad(ycc[1:], ((0, 0), (0, ph), (0, pw)), mode="edge")
+        cc = cc.reshape(2, cc.shape[1] // 2, 2, cc.shape[2] // 2, 2).mean(axis=(2, 4))
+        planes = [ycc[0], cc[0], cc[1]]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = [ycc[0], ycc[1], ycc[2]]
+        samp = [(1, 1), (1, 1), (1, 1)]
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+    qids = [0, 1, 1]
+
+    coefs = []  # per component: (bv, bh, 64)
+    for plane, qt in zip(planes, qts):
+        coefs.append(_encode_plane_blocks(_blocks_of(plane), qt))
+
+    # --- entropy-code MCU-interleaved
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                c = coefs[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        r = min(my * sv + by, c.shape[0] - 1)
+                        q = min(mx * sh + bx, c.shape[1] - 1)
+                        blk = c[r, q]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        size, bits = _magnitude(diff)
+                        code, ln = _ENC_DC[size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        run = 0
+                        last_nz = 0
+                        for k in range(63, 0, -1):
+                            if blk[k]:
+                                last_nz = k
+                                break
+                        for k in range(1, last_nz + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = _ENC_AC[0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            size, bits = _magnitude(v)
+                            code, ln = _ENC_AC[(run << 4) | size]
+                            bw.write(code, ln)
+                            bw.write(bits, size)
+                            run = 0
+                        if last_nz != 63:
+                            code, ln = _ENC_AC[0x00]
+                            bw.write(code, ln)
+    entropy = bw.flush()
+
+    # --- assemble segments
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QT_LUMA[_ZIGZAG]))
+    out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in _QT_CHROMA[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for i, ((sh, sv), qid) in enumerate(zip(samp, qids), start=1):
+        sof += bytes([i, (sh << 4) | sv, qid])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = bytes([3]) + b"".join(bytes([i + 1, 0x00]) for i in range(3))
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder ---
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at markers
+    (returns them via .marker)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    return self.nbits > 0
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                    return self.nbits > 0
+                else:  # real marker: stop
+                    self.marker = nxt
+                    return self.nbits > 0
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        return True
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:
+                raise JpegError("truncated entropy data")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just after the next RSTn marker, discarding bit remainder."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise JpegError("missing restart marker")
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], huffval: list[int]):
+        # (first_code, first_index) per length for canonical decode
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        self.huffval = huffval
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.take(1)
+        for length in range(1, 17):
+            mx = self.maxcode[length]
+            if mx >= 0 and code <= mx:
+                return self.huffval[self.valptr[length] + code - self.mincode[length]]
+            code = (code << 1) | br.take(1)
+        raise JpegError("bad huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG byte string to an HxWx3 uint8 RGB array."""
+    if not is_jpeg(data):
+        raise JpegError("not a jpeg")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qts[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                tab = _HuffTable(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("non-baseline SOF unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_scan(
+                data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
+            )
+        # else: APPn/COM — skipped
+    raise JpegError("no scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval):
+    h, w = frame["h"], frame["w"]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    comps = [s[0] for s in scan]
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise JpegError("sampling factors > 2 unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient storage (full MCU grid)
+    store = []
+    for c in comps:
+        bv, bh = mcus_y * c["v"], mcus_x * c["h"]
+        store.append(np.zeros((bv, bh, 64), dtype=np.int64))
+
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (c, td, ta) in enumerate(scan):
+                dct = dc_tabs.get(td)
+                act = ac_tabs.get(ta)
+                if dct is None or act is None:
+                    raise JpegError("missing huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        size = dct.decode(br)
+                        diff = _extend(br.take(size), size) if size else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC index overflow")
+                            blk[k] = _extend(br.take(s), s)
+                            k += 1
+
+    # dequantize + IDCT per component, vectorized over blocks
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qts.get(c["tq"])
+        if qt is None:
+            raise JpegError("missing quant table")
+        zz = store[ci] * qt  # (bv, bh, 64) zigzag order
+        blocks = np.zeros((zz.shape[0], zz.shape[1], 64), dtype=np.float64)
+        blocks[:, :, _ZIGZAG] = zz
+        blocks = blocks.reshape(zz.shape[0], zz.shape[1], 8, 8)
+        px = np.einsum("xu,...uv,yv->...xy", _DCTM.T, blocks, _DCTM.T)
+        px += 128.0
+        bv, bh = px.shape[0], px.shape[1]
+        plane = px.transpose(0, 2, 1, 3).reshape(bv * 8, bh * 8)
+        # upsample to full resolution (nearest) then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise JpegError(f"{len(planes)}-component scan unsupported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -155,27 +155,41 @@ def payload_page_renders(
     return out
 
 
+JPEG_MEDIA_SIZE = 64  # edge length of the downsampled JPEG media variant
+
+
 def payload_render_media(
     text: str | None, cfg: ExtractConfig = DEFAULT_CONFIG, dpi: int = 72
 ) -> list[dict]:
-    """Page-render PNG payload rows for the REAL-pixel D3/F5/F6 path.
+    """Page-render media payload rows for the REAL-pixel D3/F5/F6 path.
 
-    For each vector/scanned page, emits three media variants whose bytes are
-    actual PNG rasters (decoded for real by ``kernels.png``):
+    For each vector/scanned page, emits four media variants whose bytes are
+    actual encoded rasters (decoded for real by ``kernels.png`` /
+    ``kernels.jpeg``; the ``png`` column holds the encoded payload, whose
+    format follows the variant):
 
       media_ord 0 'full'     — the K1/K4 render (same dispatch as
-                               payload_page_renders)
+                               payload_page_renders), PNG
       media_ord 1 'stripped' — the K7 text-stripped rebuild of the same page
                                (a perceptual NEAR-duplicate of 'full': same
                                strokes/images, text ink removed —
-                               ``pdf_image_extractor.py:200-218``)
+                               ``pdf_image_extractor.py:200-218``), PNG
       media_ord 2 'dup'      — byte-identical copy of 'full' (an exact
-                               perceptual duplicate)
+                               perceptual duplicate), PNG
+      media_ord 3 'jpeg'     — the 'full' raster downsampled to
+                               JPEG_MEDIA_SIZE² and BASELINE-JPEG-encoded
+                               (4:2:0) by the from-scratch DCT codec, so
+                               the pixel filters also exercise real
+                               Huffman+IDCT decode paths
 
     The perceptual dedup's first-wins order (media_ord) must keep 'full' and
     drop 'dup'; 'stripped' drops iff its 32x32 similarity to 'full' clears
-    the threshold — a decision made on real pixels.
+    the threshold; the lossy 'jpeg' variant's keep/drop is likewise decided
+    on its actually-decoded pixels.
     """
+    from .images import resize_nearest
+    from .jpeg import encode_jpeg
+
     doc = _parse_payload(text)
     if doc is None:
         return []
@@ -187,16 +201,21 @@ def payload_render_media(
     out = []
     for page_no, page in enumerate(doc.pages):
         if stats.pdf_type == "vector" and is_cad:
-            full = encode_png(render_cad_page(page, dpi=dpi * 2))
+            full_img = render_cad_page(page, dpi=dpi * 2)
         else:
-            full = encode_png(render_page(page, dpi=dpi))
+            full_img = render_page(page, dpi=dpi)
+        full = encode_png(full_img)
         stripped = encode_png(render_page(page, dpi=dpi, text_stripped=True))
-        for ord_, variant, png in (
+        jpeg = encode_jpeg(
+            resize_nearest(full_img, JPEG_MEDIA_SIZE), subsample=True
+        )
+        for ord_, variant, payload in (
             (0, "full", full),
             (1, "stripped", stripped),
             (2, "dup", full),
+            (3, "jpeg", jpeg),
         ):
             out.append(
-                {"page": page_no, "media_ord": ord_, "variant": variant, "png": png}
+                {"page": page_no, "media_ord": ord_, "variant": variant, "png": payload}
             )
     return out

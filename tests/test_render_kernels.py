@@ -246,9 +246,15 @@ def test_render_media_real_pixels():
     )
     payload = base64.b64encode(build_pdf([page])).decode()
     recs = payload_render_media(payload)
-    assert [r["variant"] for r in recs] == ["full", "stripped", "dup"]
+    assert [r["variant"] for r in recs] == ["full", "stripped", "dup", "jpeg"]
     arrays = [decode_image(r["png"]) for r in recs]
     assert arrays[0].shape == arrays[1].shape
     keep = perceptual_keep_mask(arrays)
     assert keep[0] and not keep[2]  # dup always dropped
     assert not mostly_black(arrays[0])
+    # the jpeg variant must be REAL decoded pixels at the downsample target
+    from pdf_parser_spark.kernels.images import decode_image_ex
+    from pdf_parser_spark.kernels.records import JPEG_MEDIA_SIZE
+
+    arr, ok = decode_image_ex(recs[3]["png"])
+    assert ok and arr.shape == (JPEG_MEDIA_SIZE, JPEG_MEDIA_SIZE, 3)
