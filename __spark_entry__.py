@@ -143,6 +143,18 @@ def q_k1_page_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images_op.page_renders(_transcripts_df(spark, sf_dir))
 
 
+def q_forced_vector_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """force_mode override (pdf_image_extractor.py:67-71, routes.py:131):
+    ``force_kind='vector'`` pushes EVERY parseable PDF through the
+    whole-page render path, so turns the classifier routes to the
+    digital-image pipeline or the text path now emit render records too —
+    the dispatch flip the served product's force_mode performs."""
+    from pdf_parser_spark.config import ExtractConfig
+
+    cfg = ExtractConfig(force_kind="vector")
+    return images_op.page_renders(_transcripts_df(spark, sf_dir), cfg)
+
+
 def q_a5_images_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page kept-image histogram (A5 — ``smart_pdf_extractor.py:368-379``)."""
     recs = images_op.image_records(_transcripts_df(spark, sf_dir))
@@ -203,6 +215,16 @@ def q_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's value-hash compares it byte-for-byte against the golden's
     json.dumps — same recipe as the spans column."""
     env = images_op.analysis_records(_transcripts_df(spark, sf_dir))
+    # X2 on the REAL parsed /Info value: metadata['CreationDate'] (null-safe
+    # map access) through pdf_date_parse; the golden computes the same via
+    # python strptime — decoder and formatter share no code across engines
+    creation = F.coalesce(
+        F.date_format(
+            pdf_date_parse(F.col("metadata")["CreationDate"]),
+            "yyyy-MM-dd HH:mm:ss",
+        ),
+        F.lit(""),
+    )
     return env.select(
         "conv_id",
         "turn_idx",
@@ -212,6 +234,8 @@ def q_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_images",
         "total_vectors",
         "pdf_type",
+        F.to_json("metadata").alias("metadata_json"),
+        creation.alias("creation_date"),
     )
 
 
@@ -773,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_render_dedup": q_d3_render_dedup,
         "image_records_full": q_image_records_full,
         "k1_page_renders": q_k1_page_renders,
+        "forced_vector_renders": q_forced_vector_renders,
         "a5_images_per_page": q_a5_images_per_page,
         "a6_format_histogram": q_a6_format_histogram,
         "a8_drop_reason_histogram": q_a8_drop_reason_histogram,
@@ -1260,12 +1285,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "analysis_envelope": f"""
             SELECT conv_id, turn_idx, page_count, pages_info_json,
-                   total_text_chars, total_images, total_vectors, pdf_type
+                   total_text_chars, total_images, total_vectors, pdf_type,
+                   metadata_json, creation_date
             FROM '{G.ensure_analysis_golden(ORACLE_SF_DIR)}'
         """,
         "k1_page_renders": f"""
             SELECT conv_id, turn_idx, page, renderer, px_w, px_h, png_md5, png_bytes
             FROM '{render_golden}'
+        """,
+        "forced_vector_renders": f"""
+            SELECT conv_id, turn_idx, page, renderer, px_w, px_h, png_md5, png_bytes
+            FROM '{G.ensure_forced_renders_golden(ORACLE_SF_DIR)}'
         """,
         "a5_images_per_page": f"""
             SELECT page, CAST(count(*) AS BIGINT) AS n

@@ -17,6 +17,13 @@ class ExtractConfig:
     filter_contained: bool = True
     filter_duplicates: bool = True
 
+    # force the PDF subtype past classification (the served product's
+    # force_mode override, pdf_api/core/pdf_image_extractor.py:67-71 +
+    # routes.py:131): one of "text"/"digital"/"vector"/"scanned", or None to
+    # classify. Flips every downstream dispatch (image pipeline vs page
+    # renders, CAD check, analyzer pdf_type) through the one doc_stats gate.
+    force_kind: str | None = None
+
     # classification (pdf_api/core/pdf_analyzer.py:66, :118-136)
     classify_page_cap: int = 3          # analyze first min(3, page_count) pages
     vector_threshold: int = 1000        # total_vectors > 1000 -> vector

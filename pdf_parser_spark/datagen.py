@@ -114,8 +114,30 @@ def _text_pages(doc_id: int, words: list[str], min_chars: int = 120) -> list[Pag
     return pages
 
 
+def _info_of(doc_id: int, kind: str) -> dict[str, str] | None:
+    """Deterministic /Info metadata; ~1 in 5 docs has none (empty-map path).
+
+    CreationDate uses the PDF 'D:YYYYMMDDHHmmSS' form the X2 parser reads;
+    Title exercises the literal-string escapes the writer emits."""
+    if _h(doc_id, "noinfo") % 5 == 0:
+        return None
+    y = 2010 + _h(doc_id, "iy") % 15
+    mo = 1 + _h(doc_id, "imo") % 12
+    d = 1 + _h(doc_id, "id") % 28
+    hh = _h(doc_id, "ih") % 24
+    mi = _h(doc_id, "imi") % 60
+    ss = _h(doc_id, "iss") % 60
+    return {
+        "Title": f"{kind} report ({doc_id})",
+        "Author": f"author-{doc_id % 7}",
+        "CreationDate": f"D:{y}{mo:02d}{d:02d}{hh:02d}{mi:02d}{ss:02d}",
+    }
+
+
 def _make_pdf_text(doc_id: int, words: list[str]) -> str:
-    return base64.b64encode(build_pdf(_text_pages(doc_id, words))).decode()
+    return base64.b64encode(
+        build_pdf(_text_pages(doc_id, words), info=_info_of(doc_id, "text"))
+    ).decode()
 
 
 _IMG_FMTS = ["raw", "jpeg", "flate"]
@@ -168,7 +190,9 @@ def _make_pdf_digital(doc_id: int, words: list[str]) -> str:
             )
         )
     pages[0].images = images
-    return base64.b64encode(build_pdf(pages)).decode()
+    return base64.b64encode(
+        build_pdf(pages, info=_info_of(doc_id, "digital"))
+    ).decode()
 
 
 def _make_pdf_vector(doc_id: int) -> str:
@@ -178,7 +202,9 @@ def _make_pdf_vector(doc_id: int) -> str:
         n_rects=300,
         n_curves=200,
     )
-    return base64.b64encode(build_pdf([page])).decode()
+    return base64.b64encode(
+        build_pdf([page], info=_info_of(doc_id, "vector"))
+    ).decode()
 
 
 def _make_pdf_scanned(doc_id: int) -> str:
@@ -192,7 +218,9 @@ def _make_pdf_scanned(doc_id: int) -> str:
             )
         ],
     )
-    return base64.b64encode(build_pdf([page])).decode()
+    return base64.b64encode(
+        build_pdf([page], info=_info_of(doc_id, "scan"))
+    ).decode()
 
 
 def _make_malformed(doc_id: int) -> str:

@@ -195,6 +195,22 @@ def ensure_page_renders_golden(sf_dir: str) -> str:
     )
 
 
+def ensure_forced_renders_golden(sf_dir: str) -> str:
+    """Golden for the force_mode override: force_kind='vector' routes every
+    parseable PDF through the whole-page render dispatch regardless of its
+    classified subtype (pdf_image_extractor.py:67-71)."""
+    from .config import ExtractConfig
+    from .kernels.records import payload_page_renders
+
+    cfg = ExtractConfig(force_kind="vector")
+    return _ensure_record_golden(
+        sf_dir,
+        "page_renders_forced",
+        lambda t: payload_page_renders(t, cfg),
+        PAGE_RENDER_PA_SCHEMA,
+    )
+
+
 ANALYSIS_PA_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -205,14 +221,21 @@ ANALYSIS_PA_SCHEMA = pa.schema(
         ("total_images", pa.int32()),
         ("total_vectors", pa.int32()),
         ("pdf_type", pa.string()),
+        ("metadata_json", pa.string()),
+        ("creation_date", pa.string()),
     ]
 )
 
 
 def ensure_analysis_golden(sf_dir: str) -> str:
-    """Golden for the analyzer's nested envelope; pages_info serialized with
-    json.dumps(separators=(',', ':')) — byte-identical to Spark's F.to_json
-    over the ArrayType(StructType) column (same recipe as spans_json)."""
+    """Golden for the analyzer's nested envelope; pages_info and the /Info
+    metadata map serialized with json.dumps(separators=(',', ':')) —
+    byte-identical to Spark's F.to_json over the nested columns (same recipe
+    as spans_json). ``creation_date`` is the X2 'D:YYYYMMDDHHmmSS' parse of
+    the REAL parsed /Info CreationDate, computed here with python strptime —
+    fully independent of the Spark side's to_timestamp/date_format path."""
+    import datetime as _dt
+
     from .kernels.records import payload_analysis
 
     def fn(text):
@@ -222,6 +245,18 @@ def ensure_analysis_golden(sf_dir: str) -> str:
             rec["pages_info_json"] = json.dumps(
                 rec.pop("pages_info"), separators=(",", ":")
             )
+            meta = rec.pop("metadata")
+            rec["metadata_json"] = json.dumps(meta, separators=(",", ":"))
+            cd = meta.get("CreationDate", "")
+            parsed = ""
+            if cd.startswith("D:") and len(cd) >= 16:
+                try:
+                    parsed = _dt.datetime.strptime(
+                        cd[2:16], "%Y%m%d%H%M%S"
+                    ).strftime("%Y-%m-%d %H:%M:%S")
+                except ValueError:
+                    parsed = ""
+            rec["creation_date"] = parsed
             out.append(rec)
         return out
 

@@ -89,7 +89,11 @@ def doc_stats(doc: ParsedDoc, cfg: ExtractConfig = DEFAULT_CONFIG) -> DocStats:
         total_text_chars=total_text,
         total_images=total_images,
         total_vectors=total_vectors,
-        pdf_type=classify_pdf(total_text, total_images, total_vectors, cfg),
+        # force_mode override (pdf_image_extractor.py:67-71): the caller's
+        # forced subtype wins over classification; every dispatch downstream
+        # reads pdf_type from here, so one gate flips them all
+        pdf_type=cfg.force_kind
+        or classify_pdf(total_text, total_images, total_vectors, cfg),
     )
 
 

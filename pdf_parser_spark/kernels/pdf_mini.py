@@ -110,8 +110,14 @@ def _content_stream(page: PageSpec, img_names: list[str]) -> bytes:
     return "\n".join(out).encode("latin-1")
 
 
-def build_pdf(pages: list[PageSpec]) -> bytes:
-    """Serialize pages into a valid single-xref PDF 1.4 byte string."""
+def build_pdf(pages: list[PageSpec], info: dict[str, str] | None = None) -> bytes:
+    """Serialize pages into a valid single-xref PDF 1.4 byte string.
+
+    ``info`` emits a document information dictionary (/Info in the trailer —
+    Title/Author/CreationDate etc. as literal strings), the metadata surface
+    the reference's analyzer carries (``pdf_api/core/pdf_analyzer.py:42-43``,
+    ``pdfplumber/pdf_page_extractor.py:37-60``).
+    """
     objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
     page_obj_ids: list[int] = []
 
@@ -169,6 +175,11 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
         f"<< /Type /Catalog /Pages {pages_id} 0 R >>"
     ).encode("latin-1")
 
+    info_id = None
+    if info:
+        body = " ".join(f"/{k} ({_escape(v)})" for k, v in info.items())
+        info_id = add(f"<< {body} >>".encode("latin-1"))
+
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -179,8 +190,9 @@ def build_pdf(pages: list[PageSpec]) -> bytes:
     buf += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         buf += f"{off:010d} 00000 n \n".encode("latin-1")
+    info_ref = f" /Info {info_id} 0 R" if info_id else ""
     buf += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_id} 0 R >>\n"
+        f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_id} 0 R{info_ref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode("latin-1")
     return bytes(buf)
@@ -233,6 +245,10 @@ class ParsedPage:
 @dataclass
 class ParsedDoc:
     pages: list[ParsedPage] = field(default_factory=list)
+    # /Info document metadata (Title/Author/CreationDate literal strings),
+    # insertion-ordered as written — the analyzer's metadata surface
+    # (pdf_api/core/pdf_analyzer.py:42-43)
+    metadata: dict[str, str] = field(default_factory=dict)
 
 
 _OBJ_RE = re.compile(rb"(\d+) 0 obj\n(.*?)\nendobj\n", re.DOTALL)
@@ -326,6 +342,16 @@ def parse_pdf(data: bytes) -> ParsedDoc:
             break
 
     doc = ParsedDoc()
+    # /Info metadata (trailer reference -> literal-string dict entries)
+    im = re.search(rb"/Info (\d+) 0 R", data)
+    if im:
+        ibody = objs.get(int(im.group(1)))
+        if ibody is not None:
+            for km in re.finditer(rb"/(\w+) \(", ibody):
+                chars, _end = _read_literal(ibody, km.end())
+                doc.metadata[km.group(1).decode("latin-1")] = "".join(
+                    c for c, _ in chars
+                )
     for pid in kids_order:
         body = objs[pid]
         page = ParsedPage()

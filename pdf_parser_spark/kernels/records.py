@@ -116,6 +116,9 @@ def payload_analysis(
             "total_images": stats.total_images,
             "total_vectors": stats.total_vectors,
             "pdf_type": stats.pdf_type,
+            # /Info document metadata (Title/Author/CreationDate), the
+            # analyzer's metadata dict (pdf_api/core/pdf_analyzer.py:42-43)
+            "metadata": dict(doc.metadata),
         }
     ]
 

@@ -93,6 +93,9 @@ ANALYSIS_SCHEMA = T.StructType(
         T.StructField("total_images", T.IntegerType(), False),
         T.StructField("total_vectors", T.IntegerType(), False),
         T.StructField("pdf_type", T.StringType(), False),
+        # /Info document metadata map (Title/Author/CreationDate),
+        # insertion-ordered as written in the PDF
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), False),
     ]
 )
 

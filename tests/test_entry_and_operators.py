@@ -228,10 +228,57 @@ def test_analysis_envelope_nested_schema(spark):
     assert [x.name for x in f.dataType.elementType.fields] == [
         "page", "text_chars", "image_count", "curves", "lines", "rects",
     ]
+    # metadata must be a genuine MapType column (the analyzer's /Info dict,
+    # pdf_analyzer.py:42-43), populated from the REAL parsed trailer
+    mf = env.schema["metadata"]
+    assert isinstance(mf.dataType, T.MapType)
     rows = env.limit(200).collect()
     assert rows and any(len(r["pages_info"]) > 0 for r in rows)
     # pages_info is capped at the classify sample (first <=3 pages), page_count is not
     assert all(len(r["pages_info"]) <= 3 for r in rows)
+    with_meta = [r for r in rows if r["metadata"]]
+    without = [r for r in rows if not r["metadata"]]
+    assert with_meta and without  # fixture has both populated and absent /Info
+    assert all("CreationDate" in r["metadata"] for r in with_meta)
+    assert all(r["metadata"]["CreationDate"].startswith("D:20") for r in with_meta)
+
+
+def test_force_kind_flips_dispatch():
+    """force_mode: a digital PDF (images + text -> classifier says
+    'digital', no whole-page renders) forced to 'vector' must go through
+    the K1 render path; forced to 'text' must emit nothing."""
+    from pdf_parser_spark.config import ExtractConfig
+    from pdf_parser_spark.datagen import _make_pdf_digital, _words_of
+    from pdf_parser_spark.kernels.records import (
+        payload_analysis,
+        payload_page_renders,
+    )
+
+    payload = _make_pdf_digital(3, _words_of("alpha beta gamma delta " * 40))
+    assert payload_analysis(payload)[0]["pdf_type"] == "digital"
+    assert payload_page_renders(payload) == []
+    forced = ExtractConfig(force_kind="vector")
+    renders = payload_page_renders(payload, forced)
+    assert renders and all(r["renderer"] == "standard" for r in renders)
+    assert payload_analysis(payload, forced)[0]["pdf_type"] == "vector"
+    assert payload_page_renders(payload, ExtractConfig(force_kind="text")) == []
+
+
+def test_pdf_info_roundtrip():
+    """/Info writer+parser roundtrip, including literal-string escapes."""
+    from pdf_parser_spark.kernels.pdf_mini import (
+        PageSpec, TextRun, build_pdf, parse_pdf,
+    )
+
+    page = PageSpec(text_runs=[TextRun(x=72, y=700, size=12, text="hello")])
+    info = {
+        "Title": "A (tricky) \\ title",
+        "Author": "a-1",
+        "CreationDate": "D:20240131120455",
+    }
+    doc = parse_pdf(build_pdf([page], info=info))
+    assert doc.metadata == info
+    assert parse_pdf(build_pdf([page])).metadata == {}
 
 
 def test_image_formats_vary(spark):
