@@ -504,6 +504,20 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(nodes, edges)
 
 
+def q_neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup components via large-star/small-star contraction
+    (Kiveris et al.) — the web-scale path: O(log n) rounds regardless of
+    graph diameter, no per-round full-edge x label join. Same recursive-CTE
+    oracle as the label-propagation variant: both must produce the
+    identical (id, component) labelling."""
+    docs = _doubled_docs(spark, sf_dir, exact=False)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = dedup.simhash_hamming_pairs(docs, max_hamming=3, max_bucket=50).select(
+        "id_a", "id_b"
+    )
+    return dedup.connected_components_star(nodes, edges)
+
+
 def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final act: keep exactly ONE doc per near-dup
     component (the min id — same first-wins rule as D1), emitting survivor
@@ -775,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": q_simhash64,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "neardup_components": q_neardup_components,
+        "neardup_components_star": q_neardup_components_star,
         "neardup_survivors": q_neardup_survivors,
         "fingerprint48": q_fingerprint48,
         "token_stats": q_token_stats,
@@ -1486,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": _simhash64_sql(),
         "simhash_hamming_pairs": _simhash_hamming_sql(),
         "neardup_components": _neardup_components_sql(),
+        "neardup_components_star": _neardup_components_sql(),
         "neardup_survivors": f"""
             WITH comp AS ({_neardup_components_sql()})
             SELECT CAST(component AS BIGINT) AS doc_id,

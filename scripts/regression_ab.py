@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Back-to-back A/B for the r01->r02 simhash32 / fingerprint48 /
+q3_top_orders "regressions" (VERDICT r02 next-round task 8).
+
+Ground facts: the three operators' code did not change between rounds
+(judge-verified by diff) and their inputs are the STATIC driver tables
+(documents / orders+lineitem at /root/testdata — not the regenerated
+transcript fixture), so identical code ran identical plans on identical
+bytes. The only remaining variables are host conditions and sampling
+method (r01 n=1, r02 best-of-2). This script removes both: N consecutive
+trials of each query in ONE window, interleaved round-robin so all three
+queries sample the same minutes, reporting min/median/max.
+
+Interpretation rule: if the windowed MIN reproduces the r01-era number,
+the r02 draw was host noise and there is no regression to fix; if even the
+min sits at the r02 level, the regression is real and needs a plan diff.
+
+Appends a section to BENCH/BASELINE.md and prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N = int(os.environ.get("AB_TRIALS", "7"))
+QUERIES = ["simhash32", "fingerprint48", "q3_top_orders"]
+PRIOR = {  # r01 / r02 recorded values at sf0.1 (BENCH_r01/r02.json)
+    "simhash32": (1.69, 4.681),
+    "fingerprint48": (0.62, 1.449),
+    "q3_top_orders": (0.88, 1.535),
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    from pdf_parser_spark.pipeline import session_defaults
+
+    spark = (
+        session_defaults(
+            SparkSession.builder.master(f"local[{CPUS}]").appName("regab"), cpus=CPUS
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    # warm-up every query once (JIT/codegen/python workers are session costs)
+    for name in QUERIES:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    trials: dict[str, list[float]] = {q: [] for q in QUERIES}
+    for _ in range(N):
+        for name in QUERIES:  # round-robin: same minutes for all three
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            trials[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+    spark.stop()
+
+    def med(xs):
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    out = {}
+    lines = [
+        "\n## r01->r02 regression A/B (simhash32 / fingerprint48 / q3_top_orders)\n",
+        f"Identical code (judge-diffed) on the STATIC driver tables; {N} "
+        "round-robin trials in one window. Verdict rule: windowed min at the "
+        "r01 level => the r02 draw was host noise, not a regression.\n",
+        "| query | r01 | r02 (best-of-2) | window min | median | max |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in QUERIES:
+        xs = trials[name]
+        r1, r2 = PRIOR[name]
+        out[name] = {
+            "r01": r1, "r02": r2,
+            "min": min(xs), "median": med(xs), "max": max(xs),
+            "trials": xs,
+            "noise_not_regression": min(xs) <= r1 * 1.35,
+        }
+        lines.append(
+            f"| {name} | {r1} | {r2} | {min(xs)} | {med(xs)} | {max(xs)} |"
+        )
+    verdicts = [f"{q}: {'HOST NOISE' if out[q]['noise_not_regression'] else 'REAL — investigate'}" for q in QUERIES]
+    lines.append("\nConclusion: " + "; ".join(verdicts) + ".")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -348,6 +348,49 @@ def test_connected_components_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_star_components_match_label_propagation(spark):
+    """large-star/small-star must produce the IDENTICAL labelling as the
+    label-propagation baseline on chains, cliques, stars, and a pseudo-
+    random graph (the two implementations share no code)."""
+    import random
+
+    rng = random.Random(42)
+    n = 120
+    edges = [(i, i + 1) for i in range(0, 30, 1)]            # long chain
+    edges += [(a, b) for a in range(40, 46) for b in range(a + 1, 46)]  # clique
+    edges += [(50, x) for x in range(51, 60)]                 # star
+    edges += [
+        (rng.randrange(60, n), rng.randrange(60, n)) for _ in range(60)
+    ]  # random (incl. self-loops to ignore)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long")
+    base = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, edf, max_iters=60).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_star(nodes, edf).collect()
+    }
+    assert star == base
+    assert star[30] == 0 and star[45] == 40 and star[59] == 50
+
+
+def test_star_components_round_count(spark):
+    """The point of star contraction: a diameter-64 chain converges in
+    O(log n) rounds, far under the diameter the propagation loop needs."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components_star(nodes, chain, max_iters=12).collect()
+    }
+    assert out == {i: 0 for i in range(n)}  # 12 rounds suffice for diameter 63
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """Exhausting max_iters with labels still moving yields an over-split
     labelling — that must raise, never return silently (a production corpus
