@@ -113,3 +113,66 @@ def test_stateful_conversation_progress(spark, transcripts_pdf, tmp_path):
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windowed extraction rates with a watermark: a straggler
+    later than the delay behind the COMMITTED watermark must be DROPPED
+    (its finalized window neither merges it nor re-emits); an in-watermark
+    straggler must merge before finalization. maxFilesPerTrigger=1 makes
+    each file a micro-batch so the watermark genuinely advances between
+    arrivals. Note Spark's two-watermark rule (verified via the
+    checkpoint's offsets log): late-row FILTERING uses the previous
+    batch's watermark while EVICTION uses the current one — so the drop
+    case needs the straggler to arrive a batch after the watermark passed
+    it."""
+    import pandas as pd
+
+    from pdf_parser_spark.streaming import windowed_extraction_rates
+
+    work = str(tmp_path / "wstream")
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+
+    def rows(specs):
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": f"c{i}", "turn_idx": 0, "role": "user",
+                    "text": f"plain turn {i}", "tool": None,
+                    "ts": pd.Timestamp(t),
+                }
+                for i, t in enumerate(specs)
+            ]
+        ).astype({"turn_idx": "int32"})
+
+    # batch 0: three windows open; watermark after = 10:09 - 2m = 10:07
+    _write_slice(rows(["2026-01-01 10:00:10", "2026-01-01 10:01:20",
+                       "2026-01-01 10:09:00"]), f"{in_dir}/01.parquet")
+    # batch 1 (filter wm 10:07): 10:09:30 is NOT late -> merges into the
+    # open 10:09 window; 10:20 advances the watermark to 10:18, evicting
+    # and emitting w10:00(1), w10:01(1), w10:09(2)
+    _write_slice(rows(["2026-01-01 10:09:30", "2026-01-01 10:20:00"]),
+                 f"{in_dir}/02.parquet")
+    # batch 2 (filter wm 10:18): 10:00:30 is 18 min late -> DROPPED; its
+    # already-emitted window must not change or re-emit
+    _write_slice(rows(["2026-01-01 10:00:30", "2026-01-01 10:30:00"]),
+                 f"{in_dir}/03.parquet")
+    windowed_extraction_rates(spark, in_dir, out_dir, ckpt).awaitTermination()
+    # a second run pushes the watermark further (finalizes w10:20)
+    _write_slice(rows(["2026-01-01 10:40:00"]), f"{in_dir}/04.parquet")
+    windowed_extraction_rates(spark, in_dir, out_dir, ckpt).awaitTermination()
+
+    out = spark.read.parquet(out_dir).toPandas()
+    got = {
+        str(r["window_start"])[11:16]: int(r["n_turns"]) for _, r in out.iterrows()
+    }
+    assert got["10:00"] == 1  # the 18-min-late straggler was dropped
+    assert got["10:01"] == 1
+    assert got["10:09"] == 2  # the in-watermark straggler merged pre-eviction
+    assert got["10:20"] == 1
+    # append-mode exactly-once: every finalized window emitted exactly once
+    assert out.groupby(["window_start", "payload_kind"]).size().max() == 1
+    assert (out["payload_kind"] == "plain").all() and (out["n_fail"] == 0).all()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
