@@ -642,7 +642,7 @@ def _doubled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         _doubled_embeddings(spark, sf_dir),
-        threshold=0.9, planes=6, n_tables=2, dims=64, max_bucket=200,
+        threshold=0.9, planes=10, n_tables=4, dims=64, max_bucket=200,
     )
 
 
@@ -1235,7 +1235,7 @@ LIMIT 10
 """
 
 
-def _near_dup_sql(planes: int = 6, n_tables: int = 2, max_bucket: int = 200) -> str:
+def _near_dup_sql(planes: int = 10, n_tables: int = 4, max_bucket: int = 200) -> str:
     cos = (
         f"round({_dot_sql('va', 'vb', 64)} / "
         f"({_norm_sql('va')} * {_norm_sql('vb')}), 6)"
