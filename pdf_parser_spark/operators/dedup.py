@@ -149,7 +149,10 @@ def minhash_lsh_pairs(
                 F.min(F.substring(h, s * w + 1, w)).alias(f"mh{s}")
                 for s in range(num_hashes)
             ],
-            F.array_sort(F.collect_set("shingle")).alias("shs"),
+            # collect_set unsorted: the verify only takes array_intersect
+            # SIZES (order-independent), so sorting each per-doc array was
+            # pure waste
+            F.collect_set("shingle").alias("shs"),
         )
         .withColumn("n_sh", F.size("shs"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds bands + both verify sides
