@@ -267,21 +267,20 @@ class PdfParseError(ValueError):
     pass
 
 
-def _parse_objects(data: bytes) -> dict[int, bytes]:
+def _parse_objects(data: bytes) -> tuple[dict[int, bytes], dict[int, int]]:
+    """ONE regex pass over the raw bytes -> (id -> body, id -> absolute
+    offset of the body start). The body offsets anchor char byte_offs (the
+    span source); folding both maps into a single finditer saves a full
+    scan of every payload."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
-    if not objs:
-        raise PdfParseError("no objects")
-    return objs
-
-
-def _obj_spans(data: bytes) -> dict[int, int]:
-    """object id -> absolute offset where its body starts."""
     spans: dict[int, int] = {}
     for m in _OBJ_RE.finditer(data):
-        spans[int(m.group(1))] = m.start(2)
-    return spans
+        oid = int(m.group(1))
+        objs[oid] = m.group(2)
+        spans[oid] = m.start(2)
+    if not objs:
+        raise PdfParseError("no objects")
+    return objs, spans
 
 
 def _stream_of(body: bytes) -> bytes:
@@ -322,8 +321,7 @@ def parse_pdf(data: bytes) -> ParsedDoc:
     """
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("not a pdf")
-    objs = _parse_objects(data)
-    offs = _obj_spans(data)
+    objs, offs = _parse_objects(data)
 
     # find the pages tree through the catalog for well-formedness
     root = None
