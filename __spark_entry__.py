@@ -658,6 +658,15 @@ def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_train(_t(spark, sf_dir, "embeddings"), n_cells=8, n_iters=3)
 
 
+def q_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with nprobe=2 — the recall knob: scan the two cells whose
+    centroids are nearest the query instead of one, recovering boundary
+    neighbors at 2x the (cell-sized) scan cost."""
+    return similarity.ivf_probe_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_cells=8, nprobe=2
+    )
+
+
 def q_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration (seed -> assign -> exact fixed-point mean) — the
     single-round k-means update as one declarative query with a full SQL
@@ -805,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "ivf_train_step": q_ivf_train_step,
         "ivf_probe_topk": q_ivf_probe_topk,
+        "ivf_probe2_topk": q_ivf_probe2_topk,
         "media_features": q_media_features,
         "media_features_png": q_media_features_png,
         "media_features_jpeg": q_media_features_jpeg,
@@ -1217,7 +1227,7 @@ SELECT vec_id, cell, l2sq FROM assign WHERE rn = 1 ORDER BY vec_id
 """
 
 
-def _ivf_probe_sql() -> str:
+def _ivf_probe_sql(nprobe: int = 1) -> str:
     cos = (
         f"round({_dot_sql('v', 'qv', 64)} / "
         f"({_norm_sql('v')} * {_norm_sql('qv')}), 6)"
@@ -1226,10 +1236,19 @@ def _ivf_probe_sql() -> str:
 WITH {_IVF_ASSIGN_CTES},
 a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
 ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN a USING (vec_id)),
-q AS (SELECT v AS qv, cell AS qcell FROM ev WHERE vec_id = 0)
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qd AS (
+  SELECT c.cell AS qcell,
+         round(list_reduce(list_prepend(0.0,
+             list_transform(range(1, 65),
+                 i -> (qv.qv[i] - c.cv[i]) * (qv.qv[i] - c.cv[i]))),
+             (acc, x) -> acc + x), 6) AS d
+  FROM qv, c),
+qcells AS (SELECT qcell FROM qd ORDER BY d, qcell LIMIT {nprobe}),
+q AS (SELECT qv.qv, qcells.qcell FROM qv, qcells)
 SELECT ev.vec_id, {cos} AS cosine
-FROM ev, q
-WHERE ev.cell = q.qcell AND ev.vec_id != 0
+FROM ev JOIN q ON ev.cell = q.qcell
+WHERE ev.vec_id != 0
 ORDER BY cosine DESC, ev.vec_id ASC
 LIMIT 10
 """
@@ -1351,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(),
         "ivf_assign": _ivf_assign_sql(),
         "ivf_probe_topk": _ivf_probe_sql(),
+        "ivf_probe2_topk": _ivf_probe_sql(nprobe=2),
         "extract_turns_full": f"""
             SELECT conv_id, turn_idx, role, tool, payload_kind, extracted_text,
                    spans_json, n_blocks, extraction_ok, turn_seq

@@ -319,19 +319,40 @@ def ivf_probe_topk(
     query_id: int = 0,
     k: int = 10,
     n_cells: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF probe: score only vectors in the query's cell (nprobe=1).
+    """IVF probe: score only vectors in the ``nprobe`` cells whose
+    centroids are nearest the query (ties to the lower cell id).
 
     At scale the table is partitioned by cell, so a probe is partition
     pruning + a small scan instead of a corpus pass; this is the IVF
-    counterpart of the SRP-LSH bucket probe (ann_lsh_topk).
+    counterpart of the SRP-LSH bucket probe (ann_lsh_topk). ``nprobe`` is
+    THE IVF recall knob: a query near a cell boundary misses neighbors
+    assigned to the adjacent cell at nprobe=1; probing the next-nearest
+    cells recovers them at nprobe x the scan cost — still cells/nprobe
+    times cheaper than the corpus pass.
     """
     assign = ivf_assign(embeddings, n_cells, id_col, vec_col).select(id_col, "cell")
     e = embeddings.join(assign, id_col)
-    q = e.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qvec"), F.col("cell").alias("qcell")
+    cents = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("qcell"), F.col(vec_col).alias("cvec")
+    )
+    qv = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    # rank the k centroids by distance to the query; tiny (n_cells rows,
+    # broadcast both ways), so the "which partitions to read" decision
+    # costs nothing
+    q = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "qvec", "qcell", F.round(_l2sq(F.col("qvec"), F.col("cvec")), 6).alias("qd")
+        )
+        .orderBy(F.asc("qd"), F.asc("qcell"))
+        .limit(nprobe)
+        .select("qvec", "qcell")
     )
     cand = e.join(F.broadcast(q), F.col("cell") == F.col("qcell")).filter(
         F.col(id_col) != query_id

@@ -148,6 +148,50 @@ def test_ivf_broadcasts_centroids(spark):
         assert "CartesianProduct" not in plan, q
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join via bucketing: both sides bucketed by the join key
+    into the same bucket count must join with ZERO Exchange operators —
+    the write-once-shuffle-never layout decision for the 10^12-turn table.
+    With sortBy the per-task Sort disappears too."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "source", "text"
+    )
+    feats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    try:
+        write_bucketed(docs, "b_docs", "doc_id", 4,
+                       str(tmp_path / "b_docs"), sort_by="doc_id")
+        write_bucketed(feats, "b_feats", "doc_id", 4,
+                       str(tmp_path / "b_feats"), sort_by="doc_id")
+        joined = read_bucketed(spark, "b_docs").join(
+            read_bucketed(spark, "b_feats").hint("merge"), "doc_id"
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: no shuffle at all
+        n = joined.count()
+        assert n == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_feats")
+
+
+def test_ivf_probe2_superset_recall(spark):
+    """nprobe=2 must probe a SUPERSET of nprobe=1's candidates: its top-k
+    cosine scores dominate pointwise (the recall knob can only help)."""
+    import __spark_entry__ as em
+    from pdf_parser_spark.operators.similarity import ivf_probe_topk
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    one = [r["cosine"] for r in ivf_probe_topk(emb, nprobe=1).collect()]
+    two = [r["cosine"] for r in ivf_probe_topk(emb, nprobe=2).collect()]
+    assert len(two) == len(one)
+    assert all(b >= a for a, b in zip(one, two))
+
+
 def test_minhash_verify_uses_doc_level_arrays(spark):
     """The exact-Jaccard verify must intersect per-doc shingle arrays
     (array_intersect over the single agg), not re-join the exploded
