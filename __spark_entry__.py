@@ -462,6 +462,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: the truncated copies (ids +1000000) arrive as
+    the new batch and are near-dup-matched against the existing documents
+    corpus via a band-table JOIN — no corpus self-join. The daily-crawl
+    shape of minhash_lsh_pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+    )
+    return dedup.minhash_lsh_pairs_incremental(
+        new, docs, k=3, num_hashes=8, bands=4,
+        jaccard_threshold=0.6, max_bucket=50,
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _doubled_docs(spark, sf_dir, exact=False), k=3, threshold=0.5
@@ -793,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_pdf_date_roundtrip": q_x2_pdf_date_roundtrip,
         "d1_exact_dedup": q_d1_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash32": q_simhash32,
         "simhash64": q_simhash64,
@@ -898,6 +915,46 @@ SELECT id_a, id_b, round(i / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
 FROM inter JOIN counts ca ON ca.id = id_a JOIN counts cb ON cb.id = id_b
 WHERE round(i / (ca.n_sh + cb.n_sh - i), 6) >= 0.6
 ORDER BY id_a, id_b
+"""
+
+
+def _minhash_incremental_sql() -> str:
+    # batch (ids >= 1000000, truncated copies) vs corpus (documents):
+    # candidates from a band JOIN, band cap on the corpus side only
+    mh = ",\n    ".join(
+        f"min(substr(md5(shingle), {s * 4 + 1}, 4)) AS mh{s}" for s in range(8)
+    )
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, '{b}|' || mh{2 * b} || '|' || mh{2 * b + 1} AS band FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH docs2 AS ({_DOUBLED_TRUNC}),
+{_SHINGLE_CTES},
+sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+stacked AS (
+  {bands}
+),
+stc AS (SELECT * FROM stacked WHERE id < 1000000),
+stn AS (SELECT * FROM stacked WHERE id >= 1000000),
+ok_bands AS (SELECT band FROM stc GROUP BY band HAVING count(*) <= 50),
+stc2 AS (SELECT s.* FROM stc s JOIN ok_bands USING (band)),
+cand AS (
+  SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+  FROM stn n JOIN stc2 c USING (band)
+),
+inter AS (
+  SELECT id_new, id_corpus, count(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.id = id_new
+  JOIN sh sb ON sb.id = id_corpus AND sa.shingle = sb.shingle
+  GROUP BY id_new, id_corpus
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+SELECT id_new, id_corpus, round(i / (ca.n_sh + cb.n_sh - i), 6) AS jaccard
+FROM inter JOIN counts ca ON ca.id = id_new JOIN counts cb ON cb.id = id_corpus
+WHERE round(i / (ca.n_sh + cb.n_sh - i), 6) >= 0.6
+ORDER BY id_new, id_corpus
 """
 
 
@@ -1516,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, content_md5 FROM d WHERE rn = 1 ORDER BY doc_id
         """,
         "minhash_lsh_pairs": _minhash_sql(),
+        "minhash_incremental": _minhash_incremental_sql(),
         "ngram_jaccard_pairs": _ngram_sql(),
         "simhash32": _simhash_sql(32),
         "simhash64": _simhash64_sql(),

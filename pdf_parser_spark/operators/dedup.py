@@ -32,6 +32,7 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_incremental",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash64_chunks",
@@ -105,6 +106,53 @@ def minhash_signature(
     return sh.groupBy("id").agg(*aggs)
 
 
+def _minhash_doc_table(
+    docs: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """Per-doc (id, mh0..mhN-1, shs, n_sh), persisted.
+
+    ONE shuffle of the shingle stream: a single groupBy(id) computes BOTH
+    the minhash signature (min over duplicates == min over the set, so no
+    pre-distinct pass) and the distinct-shingle array (unsorted — verify
+    only takes array_intersect SIZES). Persisted: feeds the band table and
+    both verify sides.
+    """
+    assert 32 % num_hashes == 0, "num_hashes must divide 32"
+    w = 32 // num_hashes
+    raw = _shingle_stream(docs, text_col, id_col, k)
+    h = F.md5(F.col("shingle"))
+    return (
+        raw.groupBy("id")
+        .agg(
+            *[
+                F.min(F.substring(h, s * w + 1, w)).alias(f"mh{s}")
+                for s in range(num_hashes)
+            ],
+            F.collect_set("shingle").alias("shs"),
+        )
+        .withColumn("n_sh", F.size("shs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _band_rows(agg: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band) rows: band b = 'b|' + its signature chunk, exploded."""
+    rows_per_band = num_hashes // bands
+    band_col = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    return agg.select("id", band_col.alias("band"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -136,40 +184,8 @@ def minhash_lsh_pairs(
     size as the document text itself — fine wherever the corpus itself fits
     the cluster.
     """
-    rows_per_band = num_hashes // bands
-    assert 32 % num_hashes == 0, "num_hashes must divide 32"
-    w = 32 // num_hashes
-    raw = _shingle_stream(docs, text_col, id_col, k)
-    h = F.md5(F.col("shingle"))
-    # ONE shuffle of the shingle stream: signature mins + distinct set
-    agg = (
-        raw.groupBy("id")
-        .agg(
-            *[
-                F.min(F.substring(h, s * w + 1, w)).alias(f"mh{s}")
-                for s in range(num_hashes)
-            ],
-            # collect_set unsorted: the verify only takes array_intersect
-            # SIZES (order-independent), so sorting each per-doc array was
-            # pure waste
-            F.collect_set("shingle").alias("shs"),
-        )
-        .withColumn("n_sh", F.size("shs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds bands + both verify sides
-    )
-    band_col = F.explode(
-        F.array(
-            *[
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-                for b in range(bands)
-            ]
-        )
-    )
-    stacked = agg.select("id", band_col.alias("band"))
+    agg = _minhash_doc_table(docs, text_col, id_col, k, num_hashes)
+    stacked = _band_rows(agg, num_hashes, bands)
     # cap hot buckets (skew guard); a silent flood would O(n²) one task
     sizes = stacked.groupBy("band").agg(F.count("*").alias("n"))
     stacked = stacked.join(
@@ -204,6 +220,67 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Dedup an incoming BATCH against an existing CORPUS — the shape a
+    daily ingestion pipeline actually runs: candidates come from an
+    equi-JOIN of the batch's band rows against the corpus band table,
+    never a corpus self-join, so the corpus-sized work is one (cached /
+    precomputed) band-table build instead of an all-corpus pairing per
+    batch. At 100 TB the corpus side's (id, band) table and doc-level
+    shingle arrays are persisted storage bucketed by band/id; a batch run
+    touches only matching buckets.
+
+    Returns (id_new, id_corpus, jaccard >= threshold), ordered.
+    ``max_bucket`` caps the CORPUS side of each band bucket (boilerplate
+    floods); the batch side is assumed small.
+    """
+    agg_new = _minhash_doc_table(new_docs, text_col, id_col, k, num_hashes)
+    agg_cor = _minhash_doc_table(corpus_docs, text_col, id_col, k, num_hashes)
+    sn = _band_rows(agg_new, num_hashes, bands)
+    sc = _band_rows(agg_cor, num_hashes, bands)
+    sizes = sc.groupBy("band").agg(F.count("*").alias("n"))
+    sc = sc.join(sizes.filter(F.col("n") <= max_bucket).select("band"), "band")
+    cand = (
+        sn.alias("n")
+        .join(sc.alias("c"), "band")
+        .select(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus"))
+        .distinct()
+    )
+    ln = agg_new.select(
+        F.col("id").alias("id_new"), F.col("shs").alias("sa"), F.col("n_sh").alias("na")
+    )
+    lc = agg_cor.select(
+        F.col("id").alias("id_corpus"),
+        F.col("shs").alias("sb"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    return (
+        cand.join(ln, "id_new")
+        .join(lc, "id_corpus")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_new", "id_corpus", "jaccard")
+        .orderBy("id_new", "id_corpus")
     )
 
 
