@@ -662,6 +662,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup: the perturbed copies arrive as
+    the new batch and are matched against the corpus via an SRP bucket
+    JOIN per plane family — no corpus self-join (the ANN ingestion
+    shape, mirroring minhash_incremental)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    new = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return similarity.embedding_near_dup_incremental(
+        new, emb, threshold=0.9, planes=10, n_tables=4, dims=64, max_bucket=200,
+    )
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization (broadcast-join argmin over 8 centroids)."""
     return similarity.ivf_assign(_t(spark, sf_dir, "embeddings"), n_cells=8)
@@ -827,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_bucket_histogram": q_srp_bucket_histogram,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_neardup_incremental": q_embedding_neardup_incremental,
         "ivf_assign": q_ivf_assign,
         "ivf_train": q_ivf_train,
         "ivf_train_step": q_ivf_train_step,
@@ -1277,6 +1299,58 @@ assign AS (
 """
 
 
+def _near_dup_incremental_sql(
+    planes: int = 10, n_tables: int = 4, max_bucket: int = 200
+) -> str:
+    cos = (
+        f"round({_dot_sql('va', 'vb', 64)} / "
+        f"({_norm_sql('va')} * {_norm_sql('vb')}), 6)"
+    )
+    bucket_cols = ",\n       ".join(
+        f"{_srp_bits_sql('embedding', planes, 64, plane_offset=t * planes)} AS b{t}"
+        for t in range(n_tables)
+    )
+    def stacked(src):
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM {src}"
+            for t in range(n_tables)
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings),
+pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(embedding[1] + 0.05, embedding[2:64]) AS embedding
+  FROM base),
+bc AS (SELECT vec_id, embedding, {bucket_cols} FROM base),
+bn AS (SELECT vec_id, embedding, {bucket_cols} FROM pert),
+stc AS (
+  {stacked('bc')}
+),
+stn AS (
+  {stacked('bn')}
+),
+ok AS (SELECT t, bucket FROM stc GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
+stc2 AS (SELECT s.* FROM stc s JOIN ok USING (t, bucket)),
+cand AS (
+  SELECT DISTINCT n.vec_id AS id_new, c.vec_id AS id_corpus
+  FROM stn n JOIN stc2 c USING (t, bucket)
+),
+v AS (
+  SELECT cand.id_new, cand.id_corpus,
+         nn.embedding AS va, cc.embedding AS vb
+  FROM cand
+  JOIN bn nn ON nn.vec_id = cand.id_new
+  JOIN bc cc ON cc.vec_id = cand.id_corpus
+)
+SELECT id_new, id_corpus, {cos} AS cosine
+FROM v
+WHERE {cos} >= 0.9
+ORDER BY id_new, id_corpus
+"""
+
+
 def _ivf_assign_sql() -> str:
     return f"""
 WITH {_IVF_ASSIGN_CTES}
@@ -1425,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{G.ensure_render_perceptual_golden(ORACLE_SF_DIR)}'
         """,
         "embedding_near_dup": _near_dup_sql(),
+        "embedding_neardup_incremental": _near_dup_incremental_sql(),
         "ivf_assign": _ivf_assign_sql(),
         "ivf_probe_topk": _ivf_probe_sql(),
         "ivf_probe2_topk": _ivf_probe_sql(nprobe=2),

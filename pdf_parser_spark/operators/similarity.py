@@ -26,6 +26,7 @@ __all__ = [
     "with_srp_buckets",
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_incremental",
     "ivf_assign",
     "ivf_probe_topk",
     "ivf_train",
@@ -441,6 +442,69 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_near_dup_incremental(
+    new_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 10,
+    n_tables: int = 4,
+    dims: int = 64,
+    max_bucket: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup an incoming embedding BATCH against an existing CORPUS —
+    the ANN counterpart of ``minhash_lsh_pairs_incremental``: candidates
+    come from an equi-join of the batch's SRP bucket rows against the
+    corpus bucket table (per plane family), never a corpus self-join. At
+    100 TB the corpus's (table, bucket) rows are precomputed and
+    partitioned by bucket, so a batch run is partition-pruned bucket
+    lookups + exact cosine on the candidates. ``max_bucket`` caps the
+    CORPUS side of each bucket. Returns (id_new, id_corpus, cosine).
+    """
+    specs = [(f"b{t}", planes, t * planes) for t in range(n_tables)]
+
+    def bucketed(df):
+        e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        b = with_srp_buckets(e, "v", specs, dims).persist()
+        stacked = b.select(
+            "id",
+            F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
+                "t", "bucket"
+            ),
+        )
+        return b, stacked
+
+    bn, sn = bucketed(new_embeddings)
+    bc, sc = bucketed(corpus_embeddings)
+    sizes = sc.groupBy("t", "bucket").agg(F.count("*").alias("n"))
+    sc = sc.join(
+        sizes.filter(F.col("n") <= max_bucket).select("t", "bucket"), ["t", "bucket"]
+    )
+    cand = (
+        sn.alias("n")
+        .join(sc.alias("c"), ["t", "bucket"])
+        .select(F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus"))
+        .distinct()
+    )
+    ln = bn.select(F.col("id").alias("id_new"), F.col("v").alias("va"))
+    lc = bc.select(F.col("id").alias("id_corpus"), F.col("v").alias("vb"))
+    return (
+        cand.join(ln, "id_new")
+        .join(lc, "id_corpus")
+        .select(
+            "id_new",
+            "id_corpus",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_new", "id_corpus")
     )
 
 
