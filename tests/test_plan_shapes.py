@@ -192,6 +192,48 @@ def test_ivf_probe2_superset_recall(spark):
     assert all(b >= a for a, b in zip(one, two))
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """Residual-skew safety net behind the salt: with AQE's skew-join on
+    (session default), a join partition blown up by one hot key is SPLIT at
+    runtime — the executed adaptive plan carries the skew=true marker
+    instead of serializing the whole stage behind one task. Thresholds are
+    lowered to make the fixture-scale hot key (half the rows on k=0)
+    trigger the same path a 100 TB hot conversation would."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 128), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(50000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        j = big.join(right, "k")
+        assert len(j.collect()) == 225000  # execute THIS df so AQE finalizes
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_minhash_verify_uses_doc_level_arrays(spark):
     """The exact-Jaccard verify must intersect per-doc shingle arrays
     (array_intersect over the single agg), not re-join the exploded
