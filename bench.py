@@ -70,11 +70,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name, df_factory):
-        # best-of-2: this host's available CPU swings ~2x on a minutes
+        # best-of-3: this host's available CPU swings ~2x on a minutes
         # timescale (see BENCH/BASELINE.md controls); the min is the
-        # capability, a single draw is a lottery ticket
+        # capability, a single draw is a lottery ticket — and two
+        # consecutive draws were observed landing in the same stall (a
+        # 0.5s query measured 14s twice back-to-back)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             df = df_factory()
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
