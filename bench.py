@@ -53,6 +53,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
+    from pdf_parser_spark.caching import release_persisted
+
     from pdf_parser_spark import golden as G
     from pdf_parser_spark.datagen import generate_transcripts_multi
     from pdf_parser_spark.pipeline import run_extraction, session_defaults
@@ -82,6 +84,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             sec = time.time() - t0
             spark.catalog.clearCache()  # drop operator persists between runs
+            release_persisted()
             best = sec if best is None else min(best, sec)
         timings[name] = round(best, 3)
 

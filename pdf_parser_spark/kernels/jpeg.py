@@ -137,6 +137,8 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # keep the accumulator bounded to its live bits (see _BitReader.take)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -331,6 +333,11 @@ class _BitReader:
                 raise JpegError("truncated entropy data")
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # truncate to the live bits: without this the Python-int accumulator
+        # keeps every consumed bit and each _fill shift copies the whole
+        # history — decode time goes quadratic in entropy-stream length
+        # (measured ~20 s for a 105 KB stream; a real /DCTDecode photo hangs)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self) -> None:
@@ -393,6 +400,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise JpegError("bad marker alignment")
+        # spec-legal 0xFF fill bytes (B.1.1.2) may pad before the marker id
+        while pos + 4 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -436,6 +448,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # non-interleaved multi-scan baseline: decoding only the
+                # first (Y) scan would return gray-replicated RGB with
+                # decode_ok=True — silently wrong pixels. Fall back visibly.
+                raise JpegError("multi-scan baseline unsupported")
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]

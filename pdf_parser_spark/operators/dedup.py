@@ -27,6 +27,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import track
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -132,6 +134,7 @@ def _minhash_doc_table(
         )
         .withColumn("n_sh", F.size("shs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
     )
 
 
@@ -295,7 +298,7 @@ def ngram_jaccard_pairs(
     LSH approximates). Shingle-join keyed on the shingle keeps it far below
     n² when overlap is sparse; still quadratic in the worst case — use
     minhash_lsh_pairs at scale."""
-    sh = shingles(docs, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = track(shingles(docs, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK))
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
@@ -420,9 +423,9 @@ def simhash_hamming_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b, ordered.
     """
-    ch = simhash64_chunks(docs, text_col, id_col).persist(
+    ch = track(simhash64_chunks(docs, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
-    )  # feeds the band explode AND both chunk-lookup join sides
+    ))  # feeds the band explode AND both chunk-lookup join sides
     bands = ch.select(
         "id",
         F.posexplode(F.array(*[F.col(f"c{j}") for j in range(4)])).alias(

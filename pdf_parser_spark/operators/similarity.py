@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..caching import track
+
 __all__ = [
     "cosine_topk",
     "srp_bucket",
@@ -177,9 +179,9 @@ def ann_lsh_topk(
     """
     from pyspark import StorageLevel
 
-    bucketed = with_srp_buckets(
+    bucketed = track(with_srp_buckets(
         embeddings, vec_col, [("bucket", planes, 0)], dims
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(StorageLevel.MEMORY_AND_DISK))
     q = bucketed.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -263,7 +265,7 @@ def ivf_train(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
-    e = e.persist()
+    e = track(e.persist())
     cents = [
         (int(r["id"]), list(r["v"]))
         for r in e.filter(F.col("id") < n_cells).orderBy("id").collect()
@@ -405,9 +407,9 @@ def embedding_near_dup_pairs(
     # this persist the bucket kernel's Arrow crossing re-executes ~8x.
     # Buckets come from the vectorized numpy kernel (one mapInPandas pass,
     # bit-identical to the old HOF folds — see kernels.vectors).
-    e = with_srp_buckets(
+    e = track(with_srp_buckets(
         e, "v", [(f"b{t}", planes, t * planes) for t in range(n_tables)], dims
-    ).persist()
+    ).persist())
     stacked = e.select(
         "id",
         F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
@@ -469,7 +471,7 @@ def embedding_near_dup_incremental(
 
     def bucketed(df):
         e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        b = with_srp_buckets(e, "v", specs, dims).persist()
+        b = track(with_srp_buckets(e, "v", specs, dims).persist())
         stacked = b.select(
             "id",
             F.posexplode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias(
@@ -545,6 +547,7 @@ def ivf_train_step(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    assign = track(assign)
     comp = assign.select(
         "cell",
         F.posexplode("v").alias("dim", "x"),

@@ -18,6 +18,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from pdf_parser_spark.caching import release_persisted
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
@@ -78,6 +79,7 @@ def main() -> int:
             # drop them between queries so a 40-query session doesn't
             # accumulate cached blocks for its whole lifetime
             spark.catalog.clearCache()
+            release_persisted()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")

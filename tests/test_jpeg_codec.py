@@ -80,6 +80,48 @@ def test_truncated_jpeg_flags_fallback():
     assert not ok  # fabricated pixels, visibly flagged
 
 
+def test_large_entropy_stream_decodes_in_linear_time():
+    # noise image -> ~230 KB entropy stream; before the accumulator-masking
+    # fix the bit reader was quadratic (measured ~20 s at 105 KB) and this
+    # would take minutes. Linear decode is ~1 s; 15 s is a generous ceiling
+    # even on the noisy shared host.
+    import time
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(384, 384, 3), dtype=np.uint8)
+    data = encode_jpeg(rgb)
+    assert len(data) > 100_000
+    t0 = time.time()
+    out = decode_jpeg(data)
+    assert out.shape == rgb.shape
+    assert time.time() - t0 < 15.0
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    # B.1.1.2: any number of 0xFF fill bytes may precede a marker id
+    data = encode_jpeg(np.full((16, 16, 3), 90, np.uint8))
+    i = data.index(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]  # 3 fill bytes before SOF0
+    out = decode_jpeg(padded)
+    assert out.shape == (16, 16, 3)
+    assert abs(int(out[0, 0, 0]) - 90) <= 1
+
+
+def test_multi_scan_baseline_raises_visibly():
+    # a 1-component SOS against a 3-component frame must fall back (raise),
+    # not silently return gray-replicated RGB from the Y scan alone
+    data = encode_jpeg(np.full((8, 8, 3), 120, np.uint8))
+    i = data.index(b"\xff\xda")
+    ns = data[i + 4]
+    assert ns == 3
+    cid = data[i + 5]
+    one_comp_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, cid, 0x00, 0, 63, 0])
+    sos_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+    spliced = data[:i] + one_comp_sos + data[i + 2 + sos_len :]
+    with pytest.raises(JpegError, match="multi-scan"):
+        decode_jpeg(spliced)
+
+
 def test_subsampled_chroma_still_carries_color():
     rgb = np.zeros((16, 16, 3), np.uint8)
     rgb[:, :, 0] = 200  # red field
