@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_parser_spark import golden as G
+from pdf_parser_spark.caching import track
 from pdf_parser_spark.functions import pdf_date_parse
 from pdf_parser_spark.operators import (
     dedup,
@@ -134,8 +135,23 @@ def _transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_records_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship digital-PDF output: per-embedded-image rows
     with bounds/NMS/dedup provenance + K2 crop-render md5 (S6→F2/F3→D4→D1→K2),
-    compared against the single-node kernel golden."""
-    return images_op.image_records(_transcripts_df(spark, sf_dir))
+    compared against the single-node kernel golden. Also carries the X5
+    content-addressed filename (``img{i}_{md5[:8]}.{ext}``,
+    ``pdfplumber/smart_pdf_extractor.py:261``) for kept rows — folded in
+    from the former x5_content_names entry so the registry fits the
+    driver's 50-row correctness cap without losing the X5 check."""
+    from pdf_parser_spark.functions import content_name
+
+    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
+    return recs.withColumn(
+        "file_name",
+        F.when(
+            F.col("kept"),
+            content_name(
+                F.lit("img"), F.col("img_idx"), F.col("content_md5"), F.lit("png")
+            ),
+        ),
+    )
 
 
 def q_k1_page_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,56 +171,46 @@ def q_forced_vector_renders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images_op.page_renders(_transcripts_df(spark, sf_dir), cfg)
 
 
-def q_a5_images_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-page kept-image histogram (A5 — ``smart_pdf_extractor.py:368-379``)."""
-    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
-    return (
+def q_image_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + A6 + A8 + F9 in ONE driver-checked entry (the r03 verdict's
+    registry-curation ask: the driver caps correctness rows at 50, so the
+    four single-histogram queries share one slot as labeled arms):
+
+    - ``a5_page``: per-page kept-image histogram (A5 —
+      ``smart_pdf_extractor.py:368-379``)
+    - ``a6_format``: format histogram over kept images (A6 — ``:381-389``)
+    - ``a8_drop_reason``: extraction-outcome histogram (A8 analog, ``:411-420``)
+    - ``f9_first3``: has-images probe over the first 3 pages (F9 —
+      ``pdf_api/core/pdf_image_extractor.py:655-704``) — one row per
+      admitted turn, n = its image-record count on pages 0..2
+
+    One image-records kernel pass persisted, four cheap aggregation arms."""
+    recs = track(images_op.image_records(_transcripts_df(spark, sf_dir)).persist())
+    n = F.count("*").cast("long").alias("n")
+    a5 = (
         recs.filter(F.col("kept"))
-        .groupBy("page")
-        .agg(F.count("*").cast("long").alias("n"))
-        .orderBy("page")
+        .groupBy(F.col("page").cast("string").alias("key"))
+        .agg(n)
+        .select(F.lit("a5_page").alias("metric"), "key", "n")
     )
-
-
-def q_x5_content_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-addressed filename templating for kept images (X5 —
-    ``img{i}_{md5[:8]}.{ext}``, ``pdfplumber/smart_pdf_extractor.py:261``)."""
-    from pdf_parser_spark.functions import content_name
-
-    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
-    return recs.filter(F.col("kept")).select(
-        "conv_id",
-        "turn_idx",
-        "img_idx",
-        content_name(
-            F.lit("img"), F.col("img_idx"), F.col("content_md5"), F.lit("png")
-        ).alias("file_name"),
+    a6 = (
+        recs.filter(F.col("kept"))
+        .groupBy(F.col("format").alias("key"))
+        .agg(n)
+        .select(F.lit("a6_format").alias("metric"), "key", "n")
     )
-
-
-def q_f9_has_images_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Has-images existence probe over the first 3 pages (F9 —
-    ``pdf_api/core/pdf_image_extractor.py:655-704``): which turns would
-    proceed to image extraction."""
-    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
-    return (
+    a8 = (
+        recs.groupBy(F.col("drop_reason").alias("key"))
+        .agg(n)
+        .select(F.lit("a8_drop_reason").alias("metric"), "key", "n")
+    )
+    f9 = (
         recs.filter(F.col("page") <= 2)
-        .select("conv_id", "turn_idx")
-        .distinct()
-        .orderBy("conv_id", "turn_idx")
+        .groupBy(F.concat_ws("|", "conv_id", "turn_idx").alias("key"))
+        .agg(n)
+        .select(F.lit("f9_first3").alias("metric"), "key", "n")
     )
-
-
-def q_a6_format_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format histogram over KEPT images (A6 —
-    ``pdfplumber/smart_pdf_extractor.py:381-389`` counts per image format)."""
-    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
-    return (
-        recs.filter(F.col("kept"))
-        .groupBy("format")
-        .agg(F.count("*").cast("long").alias("n"))
-        .orderBy("format")
-    )
+    return a5.unionByName(a6).unionByName(a8).unionByName(f9).orderBy("metric", "key")
 
 
 def q_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,17 +242,6 @@ def q_analysis_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pdf_type",
         F.to_json("metadata").alias("metadata_json"),
         creation.alias("creation_date"),
-    )
-
-
-def q_a8_drop_reason_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction-outcome histogram (A8 analog — ``:411-420``; drop provenance
-    instead of extraction_method since every record shares one kernel)."""
-    recs = images_op.image_records(_transcripts_df(spark, sf_dir))
-    return (
-        recs.groupBy("drop_reason")
-        .agg(F.count("*").cast("long").alias("n"))
-        .orderBy("drop_reason")
     )
 
 
@@ -484,14 +479,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
-
-
-def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standard-width (64-bit) simhash as 4x16-bit chunks — the banding shape
-    the Hamming-pair operator consumes."""
-    return dedup.simhash64_chunks(_t(spark, sf_dir, "documents")).orderBy("id")
+def q_simhash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both simhash widths in one driver-checked entry (registry curation —
+    see q_image_histograms): the 32-bit digest plus the standard-width
+    64-bit digest as the 4x16-bit chunks the Hamming-pair operator bands
+    on. Each arm is the unmodified operator; one equi-join on id."""
+    docs = _t(spark, sf_dir, "documents")
+    s32 = dedup.simhash(docs, bits=32).withColumnRenamed("simhash", "simhash32")
+    s64 = dedup.simhash64_chunks(docs)
+    return s32.join(s64, "id").orderBy("id")
 
 
 def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,9 +685,11 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means for the IVF quantizer (iterative — rows-only check:
-    multi-round iteration is not one ANSI query; invariants pinned in
-    pytest)."""
+    """Lloyd's k-means for the IVF quantizer. Every round is deterministic
+    fixed-point (see similarity.ivf_train), so the fixed n_iters=3 loop
+    unrolls mechanically into three chained CTE blocks of the
+    ivf_train_step template — _ivf_train_sql(3) is the full hash oracle
+    (rows+schema+values), closing the board's last rows-only cell."""
     return similarity.ivf_train(_t(spark, sf_dir, "embeddings"), n_cells=8, n_iters=3)
 
 
@@ -832,8 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash32": q_simhash32,
-        "simhash64": q_simhash64,
+        "simhash_digests": q_simhash_digests,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "neardup_components": q_neardup_components,
         "neardup_components_star": q_neardup_components_star,
@@ -850,9 +847,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_neardup_incremental": q_embedding_neardup_incremental,
         "ivf_assign": q_ivf_assign,
+        # ivf_train_step retired from the registry: ivf_train is now fully
+        # hash-oracled via the unrolled CTE chain of the same template (and
+        # equals the step at n_iters=1); ivf_probe_topk likewise folded into
+        # ivf_probe2_topk (same operator, nprobe knob — the superset-
+        # domination pytest still exercises nprobe=1). Registry curation to
+        # the driver's 50-row cap, r03 verdict #1.
         "ivf_train": q_ivf_train,
-        "ivf_train_step": q_ivf_train_step,
-        "ivf_probe_topk": q_ivf_probe_topk,
         "ivf_probe2_topk": q_ivf_probe2_topk,
         "media_features": q_media_features,
         "media_features_png": q_media_features_png,
@@ -862,12 +863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_records_full": q_image_records_full,
         "k1_page_renders": q_k1_page_renders,
         "forced_vector_renders": q_forced_vector_renders,
-        "a5_images_per_page": q_a5_images_per_page,
-        "a6_format_histogram": q_a6_format_histogram,
-        "a8_drop_reason_histogram": q_a8_drop_reason_histogram,
+        # a5/a6/a8/f9 merged into image_histograms; x5 folded into
+        # image_records_full's file_name column (registry curation)
+        "image_histograms": q_image_histograms,
         "analysis_envelope": q_analysis_envelope,
-        "x5_content_names": q_x5_content_names,
-        "f9_has_images_probe": q_f9_has_images_probe,
         "o5_turn_slice": q_o5_turn_slice,
     }
 
@@ -997,26 +996,6 @@ ORDER BY id_a, id_b
 """
 
 
-def _simhash_sql(bits: int = 32) -> str:
-    sums = ",\n    ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(bits))
-    terms = " + ".join(
-        f"(CASE WHEN s{b} * 2 > n THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for b in range(bits)
-    )
-    return f"""
-WITH toks AS (
-  SELECT doc_id AS id, tok
-  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
-  WHERE length(tok) > 0
-),
-h AS (SELECT id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
-agg AS (SELECT id, count(*) AS n,
-    {sums}
-  FROM h GROUP BY id)
-SELECT id, CAST({terms} AS BIGINT) AS simhash FROM agg ORDER BY id
-"""
-
-
 def _simhash64_ctes(docs_from: str) -> str:
     """CTEs toks->h->sums->ch producing (id, c0..c3) 16-bit simhash chunks,
     mirroring dedup.simhash64_chunks."""
@@ -1051,10 +1030,25 @@ ch AS (SELECT id,
 """
 
 
-def _simhash64_sql() -> str:
+def _simhash_digests_sql() -> str:
+    """32-bit digest + 64-bit chunk digest in one statement: the 64-bit
+    CTEs contribute toks (shared) and ch; the 32-bit arm rebuilds its own
+    hash/sum pyramid over the same token stream."""
+    sums32 = ",\n    ".join(f"sum((h32 >> {b}) & 1) AS t{b}" for b in range(32))
+    terms32 = " + ".join(
+        f"(CASE WHEN t{b} * 2 > n THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
     return f"""
-WITH {_simhash64_ctes('documents')}
-SELECT id, c0, c1, c2, c3 FROM ch ORDER BY id
+WITH {_simhash64_ctes('documents')},
+h32 AS (SELECT id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h32
+        FROM toks),
+agg32 AS (SELECT id, count(*) AS n,
+    {sums32}
+  FROM h32 GROUP BY id),
+s32 AS (SELECT id, CAST({terms32} AS BIGINT) AS simhash32 FROM agg32)
+SELECT s32.id, simhash32, c0, c1, c2, c3
+FROM s32 JOIN ch ON s32.id = ch.id ORDER BY s32.id
 """
 
 
@@ -1116,28 +1110,65 @@ FROM reach GROUP BY id ORDER BY id
 """
 
 
-def _ivf_train_step_sql() -> str:
-    return f"""
-WITH {_IVF_ASSIGN_CTES},
-a AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
-ev AS (SELECT a.cell, e.v FROM e JOIN a USING (vec_id)),
-comp AS (
-  SELECT cell, i AS dim, CAST(round(v[i] * 1000000) AS BIGINT) AS sx
-  FROM ev, UNNEST(range(1, 65)) AS u(i)),
-sums AS (SELECT cell, dim, sum(sx) AS ssum, count(*) AS n
-         FROM comp GROUP BY cell, dim),
-m AS (SELECT cell, dim, CAST(ssum AS DOUBLE) / (n * 1000000.0) AS md FROM sums),
-normc AS (
-  SELECT cell,
-         round(sqrt(list_reduce(list_prepend(0.0,
-             list_transform(array_agg(md ORDER BY dim), x -> x * x)),
-             (acc, v) -> acc + v)), 6) AS centroid_norm
-  FROM m GROUP BY cell),
-members AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a GROUP BY cell)
-SELECT members.cell, n_members, centroid_norm
-FROM members JOIN normc ON members.cell = normc.cell
+def _ivf_train_sql(n_iters: int = 3, n_cells: int = 8, dims: int = 64) -> str:
+    """Unrolled Lloyd loop: ``n_iters`` chained CTE blocks of the exact
+    ivf_train_step template. Each round is deterministic (fixed-point means,
+    l2sq rounded to 6, ties to lower cell), so chaining is mechanical:
+    round i assigns against centroids c{i-1} and emits c{i}; empty cells
+    carry the previous centroid via a LEFT JOIN COALESCE. The summary takes
+    n_members from the LAST assignment and the norm from the LAST centroids
+    — the same convention ivf_train_step uses for one round."""
+    l2 = (
+        "round(list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {dims + 1}), "
+        "i -> (e.v[i] - {c}.cv[i]) * (e.v[i] - {c}.cv[i]))), "
+        "(acc, x) -> acc + x), 6)"
+    )
+    blocks = [
+        f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells})"""
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"c{i - 1}"
+        blocks.append(
+            f"""d{i} AS (
+  SELECT e.vec_id, {p}.cell, {l2.format(c=p)} AS l2sq
+  FROM e, {p}),
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2sq, cell) AS rn
+    FROM d{i}) WHERE rn = 1),
+s{i} AS (
+  SELECT a{i}.cell, i AS dim,
+         sum(CAST(round(e.v[i] * 1000000) AS BIGINT)) AS ssum,
+         count(*) AS n
+  FROM e JOIN a{i} USING (vec_id), UNNEST(range(1, {dims + 1})) AS u(i)
+  GROUP BY a{i}.cell, i),
+m{i} AS (
+  SELECT cell, array_agg(md ORDER BY dim) AS cv
+  FROM (SELECT cell, dim, CAST(ssum AS DOUBLE) / (n * 1000000.0) AS md FROM s{i})
+  GROUP BY cell),
+c{i} AS (
+  SELECT {p}.cell, COALESCE(m{i}.cv, {p}.cv) AS cv
+  FROM {p} LEFT JOIN m{i} ON {p}.cell = m{i}.cell)"""
+        )
+    last = n_iters
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+members AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+            FROM a{last} GROUP BY cell)
+SELECT members.cell, n_members,
+       round(sqrt(list_reduce(list_prepend(0.0,
+           list_transform(c{last}.cv, x -> x * x)), (acc, v) -> acc + v)), 6)
+           AS centroid_norm
+FROM members JOIN c{last} ON members.cell = c{last}.cell
 ORDER BY members.cell
 """
+    )
 
 
 def _fingerprint_sql() -> str:
@@ -1441,12 +1472,10 @@ def oracle_sql() -> dict[str, str]:
         "image_records_full": f"""
             SELECT conv_id, turn_idx, page, img_idx, x0, y0, x1, y1, px_w, px_h,
                    content_md5, size_bytes, format, color_mode, kept,
-                   drop_reason, crop_md5
+                   drop_reason, crop_md5,
+                   CASE WHEN kept THEN 'img' || img_idx || '_'
+                        || substr(content_md5, 1, 8) || '.png' END AS file_name
             FROM '{img_golden}'
-        """,
-        "a6_format_histogram": f"""
-            SELECT format, CAST(count(*) AS BIGINT) AS n
-            FROM '{img_golden}' WHERE kept GROUP BY format ORDER BY format
         """,
         "analysis_envelope": f"""
             SELECT conv_id, turn_idx, page_count, pages_info_json,
@@ -1462,23 +1491,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, page, renderer, px_w, px_h, png_md5, png_bytes
             FROM '{G.ensure_forced_renders_golden(ORACLE_SF_DIR)}'
         """,
-        "a5_images_per_page": f"""
-            SELECT page, CAST(count(*) AS BIGINT) AS n
-            FROM '{img_golden}' WHERE kept GROUP BY page ORDER BY page
-        """,
-        "a8_drop_reason_histogram": f"""
-            SELECT drop_reason, CAST(count(*) AS BIGINT) AS n
-            FROM '{img_golden}' GROUP BY drop_reason ORDER BY drop_reason
-        """,
-        "x5_content_names": f"""
-            SELECT conv_id, turn_idx, img_idx,
-                   'img' || img_idx || '_' || substr(content_md5, 1, 8) || '.png'
-                     AS file_name
-            FROM '{img_golden}' WHERE kept
-        """,
-        "f9_has_images_probe": f"""
-            SELECT DISTINCT conv_id, turn_idx FROM '{img_golden}'
-            WHERE page <= 2 ORDER BY conv_id, turn_idx
+        "image_histograms": f"""
+            SELECT 'a5_page' AS metric, CAST(page AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM '{img_golden}' WHERE kept GROUP BY page
+            UNION ALL
+            SELECT 'a6_format', format, CAST(count(*) AS BIGINT)
+            FROM '{img_golden}' WHERE kept GROUP BY format
+            UNION ALL
+            SELECT 'a8_drop_reason', drop_reason, CAST(count(*) AS BIGINT)
+            FROM '{img_golden}' GROUP BY drop_reason
+            UNION ALL
+            SELECT 'f9_first3', conv_id || '|' || turn_idx,
+                   CAST(count(*) AS BIGINT)
+            FROM '{img_golden}' WHERE page <= 2 GROUP BY conv_id, turn_idx
+            ORDER BY metric, key
         """,
         "media_features_png": f"""
             SELECT conv_id, turn_idx, page,
@@ -1501,7 +1528,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(),
         "embedding_neardup_incremental": _near_dup_incremental_sql(),
         "ivf_assign": _ivf_assign_sql(),
-        "ivf_probe_topk": _ivf_probe_sql(),
         "ivf_probe2_topk": _ivf_probe_sql(nprobe=2),
         "extract_turns_full": f"""
             SELECT conv_id, turn_idx, role, tool, payload_kind, extracted_text,
@@ -1650,8 +1676,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
         "ngram_jaccard_pairs": _ngram_sql(),
-        "simhash32": _simhash_sql(32),
-        "simhash64": _simhash64_sql(),
+        "simhash_digests": _simhash_digests_sql(),
         "simhash_hamming_pairs": _simhash_hamming_sql(),
         "neardup_components": _neardup_components_sql(),
         "neardup_components_star": _neardup_components_sql(),
@@ -1661,7 +1686,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_members
             FROM comp GROUP BY component ORDER BY doc_id
         """,
-        "ivf_train_step": _ivf_train_step_sql(),
+        "ivf_train": _ivf_train_sql(3),
         "o5_turn_slice": f"""
             SELECT conv_id, turn_idx, payload_kind, extracted_text
             FROM '{golden}' WHERE turn_idx BETWEEN 1 AND 3

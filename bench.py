@@ -7,7 +7,7 @@
 Env:
     SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-    BENCH_MULT           transcript volume multiplier (default 4; the
+    BENCH_MULT           transcript volume multiplier (default 16; the
                          extraction corpus is BENCH_MULT x documents rows)
 
 Each query is materialized with a noop write so every output column is
@@ -35,7 +35,7 @@ HEADLINE = [
     "w3_first_occurrence",
     "d1_exact_dedup",
     "minhash_lsh_pairs",
-    "simhash32",
+    "simhash_digests",
     "fingerprint48",
     "token_stats",
     "lang_id_histogram",

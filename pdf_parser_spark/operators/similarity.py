@@ -249,17 +249,27 @@ def ivf_train(
     """Lloyd's iterations for the IVF coarse quantizer — the iterative-
     algorithm shape expressed as a driver loop over DataFrame ops.
 
-    Each iteration: broadcast the k centroids → argmin assignment (window,
-    ties to lower cell) → posexplode to (cell, dim, component) → exact
-    groupBy mean → collect the k×dims centroid table back to the driver
-    (k*dims values — tiny — the ONLY driver-side data movement; the corpus
-    itself never leaves executors). Deterministic init: centroids seeded
-    from ids 0..k-1. Returns per-cell summary (cell, n_members,
-    centroid_norm) of the final model.
+    Each iteration is EXACTLY one ``ivf_train_step``: broadcast the k
+    centroids → argmin assignment (l2sq rounded to 6, window, ties to lower
+    cell) → posexplode to (cell, dim, component) → EXACT fixed-point mean
+    (components scaled to 1e-6 ints, summed as BIGINT — no float-sum order
+    sensitivity across partitions) → collect the k×dims (ssum, n) table to
+    the driver (tiny — the ONLY driver-side data movement; the corpus never
+    leaves executors). Deterministic init: centroids seeded from ids
+    0..k-1; empty cells keep their previous centroid.
 
-    No SQL oracle: multi-round iteration is not expressible as one ANSI
-    query — the driver records a rows-only check; invariants (k cells,
-    members sum to corpus size, norms finite) are pinned by pytest.
+    Returns (cell, n_members, centroid_norm) where n_members counts the
+    FINAL iteration's assignment — the E-step that produced the final
+    M-step — and centroid_norm is the final updated centroid's norm (the
+    per-dim means folded sequentially in dim order, like ivf_train_step).
+    ``n_iters=1`` is bit-identical to ``ivf_train_step``. Because every
+    round is deterministic fixed-point, a fixed ``n_iters`` unrolls
+    mechanically into chained ANSI CTE blocks of the ivf_train_step
+    template — the full SQL oracle lives in __spark_entry__._ivf_train_sql.
+
+    ONE broadcast-argmin pass per iteration: member counts ride along the
+    mean-update aggregation (n is constant across a cell's dims), so no
+    post-loop corpus pass re-derives them.
     """
     e = embeddings.select(
         F.col(id_col).alias("id"),
@@ -270,6 +280,7 @@ def ivf_train(
         (int(r["id"]), list(r["v"]))
         for r in e.filter(F.col("id") < n_cells).orderBy("id").collect()
     ]
+    members: dict[int, int] = {}
     for _ in range(n_iters):
         cent_df = e.sparkSession.createDataFrame(cents, "cell int, cv array<double>")
         d = F.round(_l2sq(F.col("v"), F.col("cv")), 6)
@@ -280,41 +291,37 @@ def ivf_train(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
         )
-        new_cents = (
+        sums = (
             assign.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
+            .select(
+                "cell", "dim", F.round(F.col("x") * 1000000).cast("long").alias("sx")
             )
-            .orderBy("cell")
+            .groupBy("cell", "dim")
+            .agg(F.sum("sx").alias("ssum"), F.count("*").alias("n"))
             .collect()
         )
-        by_cell = {int(r["cell"]): list(r["cv"]) for r in new_cents}
-        # empty cells keep their previous centroid
-        cents = [(c, by_cell.get(c, cv)) for c, cv in cents]
-    cent_df = e.sparkSession.createDataFrame(cents, "cell int, cv array<double>")
-    d = F.round(_l2sq(F.col("v"), F.col("cv")), 6)
-    w = Window.partitionBy("id").orderBy(F.asc("l2sq"), F.asc("cell"))
-    final = (
-        e.crossJoin(F.broadcast(cent_df))
-        .select("id", "cell", d.alias("l2sq"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        by_cell: dict[int, dict[int, float]] = {}
+        members = {}
+        for r in sums:
+            c = int(r["cell"])
+            # exact-int inputs -> one IEEE division; identical in JVM/DuckDB
+            by_cell.setdefault(c, {})[int(r["dim"])] = r["ssum"] / (r["n"] * 1000000.0)
+            members[c] = int(r["n"])
+        cents = [
+            (c, [by_cell[c][dd] for dd in sorted(by_cell[c])] if c in by_cell else cv)
+            for c, cv in cents
+        ]
+    # summary over the k-row centroid table only — n_members already known
+    # from the last iteration's sums; the norm uses the SAME JVM sequential
+    # fold + round as ivf_train_step so rounding matches the SQL oracle
+    # bit-for-bit (Python round() is half-even; SQL round is half-up)
+    final = e.sparkSession.createDataFrame(
+        [(c, cv, members[c]) for c, cv in cents if c in members],
+        "cell int, cv array<double>, n_members long",
     )
-    norms = cent_df.select(
-        "cell", F.round(_norm(F.col("cv")), 6).alias("centroid_norm")
-    )
-    return (
-        final.groupBy("cell")
-        .agg(F.count("*").cast("long").alias("n_members"))
-        .join(norms, "cell")
-        .orderBy("cell")
-    )
+    return final.select(
+        "cell", "n_members", F.round(_norm(F.col("cv")), 6).alias("centroid_norm")
+    ).orderBy("cell")
 
 
 def ivf_probe_topk(

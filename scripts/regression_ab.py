@@ -53,7 +53,14 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # simhash32 was merged into the simhash_digests registry entry (r04
+    # curation); this historical A/B keeps timing the standalone operator
+    from pdf_parser_spark.operators import dedup as _dedup
+
+    qs["simhash32"] = lambda spark, sf: _dedup.simhash(
+        spark.read.parquet(f"{sf}/documents.parquet"), bits=32
+    )
     # warm-up every query once (JIT/codegen/python workers are session costs)
     for name in QUERIES:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
