@@ -1185,30 +1185,73 @@ FROM h GROUP BY id ORDER BY id
 
 
 def _lang_score_cols() -> str:
-    # token-membership counts over the once-split token list `tk` — mirrors
-    # the Spark side's single split + per-language array filter
+    # token-membership counts over the once-split token list `tk` (Latin
+    # marker scores) + per-script character-class removal counts over
+    # `text` — mirrors the Spark side's single split + per-language array
+    # filter and its regexp_replace script counting (same literal-codepoint
+    # character classes; see text_stats.script_char_class)
+    from pdf_parser_spark.operators.text_stats import _SCRIPT_RANGES, script_char_class
+
     def score(markers: list[str]) -> str:
         in_list = ", ".join(f"'{m}'" for m in markers)
         return f"CAST(len(list_filter(tk, t -> t IN ({in_list}))) AS INTEGER)"
 
-    return ",\n    ".join(
-        f"{score(ms)} AS s_{lang}" for lang, ms in _LANG_MARKERS.items()
+    cols = [f"{score(ms)} AS s_{lang}" for lang, ms in _LANG_MARKERS.items()]
+    for key in _SCRIPT_RANGES:
+        cls = script_char_class(key)
+        cols.append(
+            f"CAST(length(text) - length(regexp_replace(text, '{cls}', '', 'g'))"
+            f" AS INTEGER) AS c_{key}"
+        )
+    cols.append(
+        "CAST(length(replace(text, ' ', '')) AS INTEGER) AS c_nonspace"
     )
+    return ",\n    ".join(cols)
 
 
-_LANG_CASE = """CASE
-    WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-    WHEN s_fr > greatest(s_en, s_es, s_de) THEN 'fr'
-    WHEN s_de > greatest(s_en, s_es) THEN 'de'
-    WHEN s_es > s_en THEN 'es'
-    ELSE 'en' END"""
+def _lang_case() -> str:
+    """Two-stage CASE mirroring text_stats.lang_id: script dominance
+    (>=30% of non-space chars; argmax ties to earlier; zh/ja on kana
+    share) then Latin marker argmax — generated from the SAME marker dict
+    and script order as the Spark expression so the arms cannot drift."""
+    from pdf_parser_spark.operators.text_stats import _SCRIPT_ORDER
+
+    svar = {k: f"c_{k}" for k in _SCRIPT_ORDER}
+    svar["cjk"] = "(c_han + c_kana)"
+    all_s = ", ".join(svar[k] for k in _SCRIPT_ORDER)
+    script_arms = []
+    for i in range(len(_SCRIPT_ORDER) - 1, 0, -1):
+        k = _SCRIPT_ORDER[i]
+        prefix = ", ".join(svar[x] for x in _SCRIPT_ORDER[:i])
+        pm = f"greatest({prefix})" if i > 1 else prefix
+        script_arms.append(f"WHEN {svar[k]} > {pm} THEN '{k}'")
+    script_case = (
+        "CASE " + "\n      ".join(script_arms)
+        + "\n      WHEN c_kana > 0 AND c_kana * 20 >= c_han THEN 'ja'"
+        + "\n      ELSE 'zh' END"
+    )
+    langs = list(_LANG_MARKERS)
+    all_l = ", ".join(f"s_{l}" for l in langs)
+    latin_arms = [f"WHEN greatest({all_l}) = 0 THEN 'und'"]
+    for i in range(len(langs) - 1, 0, -1):
+        prefix = ", ".join(f"s_{x}" for x in langs[:i])
+        pm = f"greatest({prefix})" if i > 1 else prefix
+        latin_arms.append(f"WHEN s_{langs[i]} > {pm} THEN '{langs[i]}'")
+    latin_case = (
+        "CASE " + "\n      ".join(latin_arms) + f"\n      ELSE '{langs[0]}' END"
+    )
+    return f"""CASE
+    WHEN greatest({all_s}) > 0
+     AND greatest({all_s}) * 10 >= c_nonspace * 3
+    THEN {script_case}
+    ELSE {latin_case} END"""
 
 
 def _lang_sql() -> str:
     return f"""
-WITH p AS (SELECT string_split_regex(trim(text), ' +') AS tk FROM documents),
+WITH p AS (SELECT text, string_split_regex(trim(text), ' +') AS tk FROM documents),
 s AS (SELECT {_lang_score_cols()} FROM p),
-c AS (SELECT {_LANG_CASE} AS lang_pred FROM s)
+c AS (SELECT {_lang_case()} AS lang_pred FROM s)
 SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY lang_pred ORDER BY lang_pred
 """
 
@@ -1232,7 +1275,7 @@ WITH base AS (
 s AS (SELECT *, {_lang_score_cols()} FROM base),
 c AS (
   SELECT doc_id, source, text, n_tokens,
-         {_LANG_CASE} AS lang_pred,
+         {_lang_case()} AS lang_pred,
          {_QUALITY_MICRO} AS q_micro
   FROM s),
 d AS (

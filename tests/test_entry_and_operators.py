@@ -432,20 +432,64 @@ def test_connected_components_frees_checkpoint_blocks(spark):
     assert n_persistent() <= base + 1
 
 
+_LANG_ROWS = [
+    ("en", "the cat sat on the mat and most of the story is that simple"),
+    ("es", "el perro corre por la plaza pero los gatos miran como una fiesta su mundo"),
+    ("de", "der hund und die katze sind nicht auf das dach mit dem ball"),
+    ("fr", "le chien et les chats dans une maison pour qui le temps passe au soleil"),
+    ("it", "il gatto che dorme di giorno sono della casa e anche gli altri"),
+    ("pt", "os gatos não são como você mas também já uma vez dormem"),
+    ("nl", "het huis is niet voor een hond maar ook wel naar de zin"),
+    ("zh", "今天天气很好我们一起去公园散步看花"),
+    ("ja", "今日はとても良い天気なので公園へ散歩に行きましょう"),
+    ("ko", "오늘 날씨가 좋아서 공원에 산책하러 갑니다"),
+    ("ru", "сегодня хорошая погода и мы идем гулять в парк"),
+    ("ar", "الطقس جميل اليوم ونحن ذاهبون الى الحديقة"),
+    ("el", "ο καιρος ειναι καλος σημερα και παμε στο παρκο"),
+    ("he", "מזג האוויר יפה היום ואנחנו הולכים לפארק"),
+    ("hi", "आज मौसम अच्छा है और हम पार्क में टहलने जा रहे हैं"),
+    ("und", "zxqj vvkpl wrtmn"),
+    # a couple of stray CJK chars must NOT flip a Latin document (the 30%
+    # dominance threshold)
+    ("en", "the report mentions 東京 and the rest of the text is english for sure"),
+]
+
+
 def test_lang_id_discriminates_languages(spark):
-    """The marker profiles must actually separate the four languages (the
-    documents fixture is English-only, so the histogram query alone cannot
-    show discrimination)."""
+    """The script cascade + marker profiles must separate all 15 languages
+    (the documents fixture is ASCII-English-only, so the histogram query
+    alone cannot show discrimination)."""
     from pdf_parser_spark.operators.text_stats import lang_id
 
-    rows = [
-        ("en", "the cat sat on the mat and most of the story is that simple"),
-        ("es", "el perro corre por la plaza pero los gatos miran como una fiesta su mundo"),
-        ("de", "der hund und die katze sind nicht auf das dach mit dem ball"),
-        ("fr", "le chien et les chats dans une maison pour qui le temps passe au soleil"),
-        ("und", "zxqj vvkpl wrtmn"),
-    ]
-    df = spark.createDataFrame(rows, "expected string, text string")
+    df = spark.createDataFrame(_LANG_ROWS, "expected string, text string")
     got = df.select("expected", lang_id(F.col("text")).alias("pred")).collect()
     for r in got:
         assert r["pred"] == r["expected"], (r["expected"], r["pred"])
+
+
+def test_lang_id_matches_duckdb_case(spark):
+    """Spark lang_id and the generated DuckDB CASE must agree row-by-row on
+    the multilingual fixture — the parquet oracle data never exercises the
+    non-Latin arms, so this is where the script-stage SQL gets its parity
+    coverage."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pdf_parser_spark.operators.text_stats import lang_id
+
+    df = spark.createDataFrame(_LANG_ROWS, "expected string, text string")
+    spark_pred = [
+        (r["text"], r["pred"])
+        for r in df.select("text", lang_id(F.col("text")).alias("pred")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for _, t in _LANG_ROWS])
+    sql = f"""
+WITH p AS (SELECT text, string_split_regex(trim(text), ' +') AS tk FROM t),
+s AS (SELECT text, {entry._lang_score_cols()} FROM p)
+SELECT text, {entry._lang_case()} AS pred FROM s
+"""
+    duck_pred = dict(con.sql(sql).fetchall())
+    for text, pred in spark_pred:
+        assert duck_pred[text] == pred, (text, pred, duck_pred[text])
