@@ -549,14 +549,18 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =========================================================== text analysis ==
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_stats.token_stats(_t(spark, sf_dir, "documents"))
+    """Whitespace token stats + BPE-ish regex counts (letter/digit/symbol
+    runs, ~4-char subword estimate) in one projection — the former
+    token_stats and subword_token_stats entries merged (registry curation
+    to the driver's 50-row cap; one scan instead of two)."""
+    return text_stats.token_profile(_t(spark, sf_dir, "documents"))
 
 
-def q_subword_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting (letter/digit/symbol runs + ~4-char
-    subword estimate) — the tokenizer-budget shape next to the whitespace
-    counts in token_stats."""
-    return text_stats.subword_token_stats(_t(spark, sf_dir, "documents"))
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition + structure quality signals with the published
+    pass thresholds — the quality-depth arm next to quality_score's
+    length/space bands (r03 verdict depth gap #3)."""
+    return text_stats.gopher_signals(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,8 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_components_star": q_neardup_components_star,
         "neardup_survivors": q_neardup_survivors,
         "fingerprint48": q_fingerprint48,
+        # subword_token_stats merged into token_stats (one projection);
+        # the freed slot holds gopher_quality
         "token_stats": q_token_stats,
-        "subword_token_stats": q_subword_token_stats,
+        "gopher_quality": q_gopher_quality,
         "lang_id_histogram": q_lang_id_histogram,
         "quality_by_source": q_quality_by_source,
         "training_pipeline_filter": q_training_pipeline_filter,
@@ -1286,6 +1292,69 @@ FROM d
 WHERE rn = 1 AND lang_pred = 'en' AND q_micro >= 700000
   AND n_tokens BETWEEN 20 AND 1000
 ORDER BY doc_id
+"""
+
+
+def _gopher_sql(docs_from: str) -> str:
+    """DuckDB mirror of text_stats.gopher_signals. The mode count uses
+    UNNEST + GROUP BY (oracle-side clarity) instead of Spark's sorted-run
+    fold — same number by construction; docs with <2 words LEFT-JOIN to a
+    COALESCE(0). Parameterized on the source relation so the pytest parity
+    check can run it over a temp table of crafted multi-line docs."""
+    from pdf_parser_spark.operators.text_stats import _GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{m}'" for m in _GOPHER_STOPWORDS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), ' +') AS tk,
+         string_split(text, chr(10)) AS ln
+  FROM {docs_from}),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE [] END AS bigrams
+  FROM base),
+bcnt AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS b FROM bg) GROUP BY doc_id, b),
+btop AS (SELECT doc_id, max(c) AS best FROM bcnt GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+         CAST(len(tk) AS INTEGER) AS n_words,
+         round(list_reduce(list_prepend(0, list_transform(tk, w -> length(w))),
+               (a, b) -> a + b) / greatest(len(tk), 1), 6) AS mean_word_len,
+         round(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+               / greatest(len(tk), 1), 6) AS alpha_word_frac,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '…', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3)
+               / greatest(len(tk), 1), 6) AS symbol_ratio,
+         round(len(list_filter(ln, l -> regexp_matches(l, '^ *[-*•]')))
+               / len(ln), 6) AS bullet_line_frac,
+         round(len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…) *$')))
+               / len(ln), 6) AS ellipsis_line_frac,
+         round((len(ln) - len(list_distinct(ln))) / len(ln), 6) AS dup_line_frac,
+         CAST(len(list_filter([{stop_list}],
+              m -> list_contains(tk, m))) AS INTEGER) AS stop_hits,
+         CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams
+  FROM base)
+SELECT sig.doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+       bullet_line_frac, ellipsis_line_frac, dup_line_frac,
+       round(COALESCE(best, 0) / greatest(n_bigrams, 1), 6) AS top_bigram_frac,
+       stop_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio < 0.1
+        AND bullet_line_frac < 0.9
+        AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac > 0.8
+        AND dup_line_frac < 0.3
+        AND round(COALESCE(best, 0) / greatest(n_bigrams, 1), 6) < 0.2
+        AND stop_hits >= 2) AS gopher_pass
+FROM sig LEFT JOIN btop ON sig.doc_id = btop.doc_id
+ORDER BY sig.doc_id
 """
 
 
@@ -1743,11 +1812,7 @@ def oracle_sql() -> dict[str, str]:
                    round((length(trim(text))
                           - (len(string_split_regex(trim(text), ' +')) - 1))
                          / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
-                     AS avg_token_len
-            FROM documents
-        """,
-        "subword_token_stats": """
-            SELECT doc_id,
+                     AS avg_token_len,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
                    CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
                    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS INTEGER) AS n_punct,
@@ -1757,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
                         (acc, v) -> acc + v) AS INTEGER) AS n_subwords
             FROM documents
         """,
+        "gopher_quality": _gopher_sql("documents"),
         "lang_id_histogram": _lang_sql(),
         "training_pipeline_filter": _training_pipeline_sql(),
         "quality_by_source": """

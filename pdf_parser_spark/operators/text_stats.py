@@ -17,6 +17,8 @@ __all__ = [
     "quality_score",
     "token_stats",
     "subword_token_stats",
+    "token_profile",
+    "gopher_signals",
     "fingerprint",
 ]
 
@@ -171,6 +173,152 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
              - (F.size(toks) - 1)) / F.greatest(F.size(toks), F.lit(1)),
             6,
         ).alias("avg_token_len"),
+    )
+
+
+def token_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """token_stats + subword_token_stats in ONE projection — the merged
+    registry entry (both operators scan the same table row-wise, so a
+    combined select costs one scan instead of two; the standalone operators
+    remain the public API)."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), " +")
+    words = F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            (F.length(F.trim(t)) - (F.size(toks) - 1))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.size(words).cast("int").alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).cast("int").alias("n_numbers"),
+        F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9 ]+"), 0))
+        .cast("int")
+        .alias("n_punct"),
+        F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc + F.floor((F.length(w) + 3) / F.lit(4)).cast("int"),
+        )
+        .cast("int")
+        .alias("n_subwords"),
+    )
+
+
+# Gopher's stopword gate uses this canonical 8-word list (Rae et al. 2021,
+# §A1.1: "the, be, to, of, and, that, have, with")
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-family repetition + structure quality signals, per doc —
+    the r03 verdict's quality-depth gap (quality_score covers only length
+    and space ratio; production filters also gate on repetition and symbol
+    floods). All JVM-side higher-order functions over ONE projection — no
+    shuffle, no Python — so the operator runs at scan speed over 100 TB.
+
+    Signals (Rae et al. 2021 "Gopher" §A1.1 + Raffel et al. 2020 "C4"):
+    - n_words, mean_word_len         word count / mean word length bands
+    - alpha_word_frac                words containing an alphabetic char
+    - symbol_ratio                   '#' + ellipsis occurrences per word
+    - bullet_line_frac               lines starting with a bullet
+    - ellipsis_line_frac             lines ending with an ellipsis
+    - dup_line_frac                  1 - distinct/total lines
+    - top_bigram_frac                most-frequent-bigram share (computed
+      shuffle-free: sort the bigram array, fold a {prev,run,best} struct —
+      the max run of a sorted array IS the mode count)
+    - stop_hits                      distinct Gopher stopwords present
+    - gopher_pass                    AND of the published thresholds
+
+    Ratios are round(·,6) of exact-int divisions, so the DuckDB oracle
+    reproduces them bit-for-bit; the pass flag compares the ROUNDED values.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), " +")
+    n_words = F.size(toks)
+    nw1 = F.greatest(n_words, F.lit(1))
+    char_sum = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    mean_word_len = F.round(char_sum / nw1, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / nw1, 6
+    )
+    sym = occurrences(t, "#") + occurrences(t, "…") + occurrences(t, "...")
+    symbol_ratio = F.round(sym / nw1, 6)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)  # split never returns an empty array
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("^ *[-*•]"))) / n_lines, 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…) *$"))) / n_lines, 6
+    )
+    dup_line_frac = F.round((n_lines - F.size(F.array_distinct(lines))) / n_lines, 6)
+
+    # bigram mode count via sorted-run fold (guard: F.sequence(0, n) is
+    # DESCENDING for n<0, so short docs get an explicit empty array)
+    bigrams = F.when(
+        n_words >= 2,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), n_words - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    best = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_bigram_frac = F.round(best / F.greatest(F.size(bigrams), F.lit(1)), 6)
+
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(m) for m in _GOPHER_STOPWORDS]),
+            lambda m: F.array_contains(toks, m),
+        )
+    )
+
+    out = docs.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("dup_line_frac") < 0.3)
+        & (F.col("top_bigram_frac") < 0.2)
+        & (F.col("stop_hits") >= 2),
     )
 
 

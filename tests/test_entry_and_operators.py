@@ -493,3 +493,87 @@ SELECT text, {entry._lang_case()} AS pred FROM s
     duck_pred = dict(con.sql(sql).fetchall())
     for text, pred in spark_pred:
         assert duck_pred[text] == pred, (text, pred, duck_pred[text])
+
+
+_GOPHER_ROWS = [
+    # clean passing doc: 56 words, sane lengths, stopwords present
+    (1, " ".join(
+        "the quick brown fox jumps over that lazy dog with great ease and "
+        "style while the children have watched from the garden near the "
+        "old house of stone that stood beyond the river bend for many "
+        "years and seasons came and went with rain and sun and wind "
+        "alike through every quiet month".split())),
+    # duplicate-line flood: 4 lines, 2 distinct -> dup_line_frac = 0.5
+    (2, "alpha beta gamma\nalpha beta gamma\ndelta epsilon zeta\nalpha beta gamma"),
+    # bullet list: 3 of 4 lines bulleted
+    (3, "- first item here\n* second item there\n• third item now\nplain closing line"),
+    # ellipsis endings: 2 of 3 lines end with ... or …
+    (4, "the story trails off...\nand continues still…\nbut ends firmly here"),
+    # symbol flood: many '#' per word
+    (5, "## heading ### another #### more ##### hashes everywhere ######"),
+    # repeated bigram: "spam ham" dominates -> top_bigram_frac high
+    (6, "spam ham spam ham spam ham spam ham spam ham"),
+    # single word: empty-bigram guard path
+    (7, "lonely"),
+    # empty-ish / whitespace
+    (8, "   "),
+    # numeric doc: alpha_word_frac low
+    (9, "12345 67890 11111 22222 33333 44444"),
+]
+
+
+def test_gopher_signals_values(spark):
+    """Hand-computed expectations for each signal arm (both engines could be
+    wrong together; parity alone cannot catch that)."""
+    from pdf_parser_spark.operators.text_stats import gopher_signals
+
+    df = spark.createDataFrame(_GOPHER_ROWS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_signals(df).collect()}
+
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["dup_line_frac"] == 0.0
+
+    assert rows[2]["dup_line_frac"] == 0.5  # (4 - 2) / 4
+    assert rows[2]["gopher_pass"] is False
+
+    assert rows[3]["bullet_line_frac"] == 0.75
+    assert rows[4]["ellipsis_line_frac"] == round(2 / 3, 6)
+
+    assert rows[5]["symbol_ratio"] > 0.1
+    assert rows[5]["gopher_pass"] is False
+
+    # "spam ham" appears 5 times among 9 bigrams
+    assert rows[6]["top_bigram_frac"] == round(5 / 9, 6)
+    assert rows[6]["gopher_pass"] is False
+
+    assert rows[7]["n_words"] == 1
+    assert rows[7]["top_bigram_frac"] == 0.0
+
+    assert rows[9]["alpha_word_frac"] == 0.0
+    assert rows[9]["gopher_pass"] is False
+
+
+def test_gopher_signals_match_duckdb(spark):
+    """Row-by-row Spark vs DuckDB parity on the crafted fixture — the parquet
+    documents are single-line ASCII prose, so the line-structure and
+    repetition arms get their oracle-grade coverage here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pdf_parser_spark.operators.text_stats import gopher_signals
+
+    df = spark.createDataFrame(_GOPHER_ROWS, "doc_id long, text string")
+    cols = [c for c in gopher_signals(df).columns]
+    spark_rows = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_signals(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", _GOPHER_ROWS)
+    duck = con.sql(entry._gopher_sql("docs")).fetchall()
+    duck_cols = [d[0] for d in con.sql(entry._gopher_sql("docs")).description]
+    assert duck_cols == cols
+    for row in duck:
+        d = dict(zip(duck_cols, row))
+        assert spark_rows[d["doc_id"]] == tuple(d[c] for c in cols), d
