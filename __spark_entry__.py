@@ -574,14 +574,23 @@ def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup: micro-int quality_score sum + how many
+    docs clear the full Gopher gate (the r03 depth ask: the rollup a
+    pipeline dashboard reads hourly)."""
     docs = _t(spark, sf_dir, "documents")
     q = text_stats.quality_score(F.col("text"))
+    sig = text_stats.gopher_signal_cols(F.col("text"))
     return (
-        docs.select("source", F.round(q * 1000000).cast("long").alias("q_micro"))
+        docs.select(
+            "source",
+            F.round(q * 1000000).cast("long").alias("q_micro"),
+            text_stats.gopher_pass_col(sig).cast("int").alias("gp"),
+        )
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("q_micro").cast("long").alias("quality_micro_sum"),
+            F.sum("gp").cast("long").alias("gopher_pass_n"),
         )
         .orderBy("source")
     )
@@ -592,10 +601,13 @@ def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_training_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite C4/Gopher-style corpus filter chain — the operators a
     training-data pipeline stacks: language-ID == 'en', quality score >=
-    0.7, exact-dedup survivor, token count in [20, 1000]. All JVM-side
-    column expressions + one window; scan-speed at corpus scale."""
+    0.7, exact-dedup survivor, token count in [20, 1000], plus the Gopher
+    repetition gates (symbol flood, duplicate lines, top-bigram share).
+    All JVM-side column expressions + one window; scan-speed at corpus
+    scale."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    sig = text_stats.gopher_signal_cols(F.col("text"))
     enriched = docs.select(
         "doc_id",
         "source",
@@ -605,6 +617,9 @@ def q_training_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q_micro"),
         toks.cast("int").alias("n_tokens"),
+        sig["symbol_ratio"].alias("symbol_ratio"),
+        sig["dup_line_frac"].alias("dup_line_frac"),
+        sig["top_bigram_frac"].alias("top_bigram_frac"),
     )
     survivors = dedup.exact_dedup(enriched)
     return (
@@ -612,8 +627,14 @@ def q_training_pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_pred") == "en")
             & (F.col("q_micro") >= 700000)
             & F.col("n_tokens").between(20, 1000)
+            & (F.col("symbol_ratio") < 0.1)
+            & (F.col("dup_line_frac") < 0.3)
+            & (F.col("top_bigram_frac") < 0.2)
         )
-        .select("doc_id", "source", "lang_pred", "q_micro", "n_tokens")
+        .select(
+            "doc_id", "source", "lang_pred", "q_micro", "n_tokens",
+            "symbol_ratio", "dup_line_frac", "top_bigram_frac",
+        )
         .orderBy("doc_id")
     )
 
@@ -1286,12 +1307,16 @@ c AS (
   FROM s),
 d AS (
   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-  FROM c)
-SELECT doc_id, source, lang_pred, q_micro, CAST(n_tokens AS INTEGER) AS n_tokens
-FROM d
+  FROM c),
+g AS (SELECT doc_id, symbol_ratio, dup_line_frac, top_bigram_frac
+      FROM ({_gopher_sql("documents")}))
+SELECT d.doc_id, source, lang_pred, q_micro, CAST(n_tokens AS INTEGER) AS n_tokens,
+       symbol_ratio, dup_line_frac, top_bigram_frac
+FROM d JOIN g ON d.doc_id = g.doc_id
 WHERE rn = 1 AND lang_pred = 'en' AND q_micro >= 700000
   AND n_tokens BETWEEN 20 AND 1000
-ORDER BY doc_id
+  AND symbol_ratio < 0.1 AND dup_line_frac < 0.3 AND top_bigram_frac < 0.2
+ORDER BY d.doc_id
 """
 
 
@@ -1825,24 +1850,28 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql("documents"),
         "lang_id_histogram": _lang_sql(),
         "training_pipeline_filter": _training_pipeline_sql(),
-        "quality_by_source": """
+        "quality_by_source": f"""
             WITH q AS (
-              SELECT source,
+              SELECT doc_id, source,
                 CASE WHEN length(text) >= 200 THEN 1.0
                      WHEN length(text) >= 50 THEN 0.6 ELSE 0.2 END AS len_score,
                 (length(text) - length(replace(text, ' ', '')))
                   / greatest(length(text), 1) AS space_ratio
               FROM documents),
             q2 AS (
-              SELECT source,
+              SELECT doc_id, source,
                 round(len_score * 0.6
                       + (CASE WHEN space_ratio >= 0.08 AND space_ratio <= 0.30
                               THEN 1.0 ELSE 0.5 END) * 0.4, 6) AS quality
-              FROM q)
+              FROM q),
+            g AS (SELECT doc_id, gopher_pass FROM ({_gopher_sql("documents")}))
             SELECT source, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
-                     AS quality_micro_sum
-            FROM q2 GROUP BY source ORDER BY source
+                     AS quality_micro_sum,
+                   CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+                     AS gopher_pass_n
+            FROM q2 JOIN g ON q2.doc_id = g.doc_id
+            GROUP BY source ORDER BY source
         """,
         "cosine_topk": _cosine_sql(),
         "srp_bucket_histogram": _srp_hist_sql(),

@@ -18,6 +18,8 @@ __all__ = [
     "token_stats",
     "subword_token_stats",
     "token_profile",
+    "gopher_signal_cols",
+    "gopher_pass_col",
     "gopher_signals",
     "fingerprint",
 ]
@@ -215,32 +217,12 @@ def token_profile(
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_signals(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Gopher/C4-family repetition + structure quality signals, per doc —
-    the r03 verdict's quality-depth gap (quality_score covers only length
-    and space ratio; production filters also gate on repetition and symbol
-    floods). All JVM-side higher-order functions over ONE projection — no
-    shuffle, no Python — so the operator runs at scan speed over 100 TB.
-
-    Signals (Rae et al. 2021 "Gopher" §A1.1 + Raffel et al. 2020 "C4"):
-    - n_words, mean_word_len         word count / mean word length bands
-    - alpha_word_frac                words containing an alphabetic char
-    - symbol_ratio                   '#' + ellipsis occurrences per word
-    - bullet_line_frac               lines starting with a bullet
-    - ellipsis_line_frac             lines ending with an ellipsis
-    - dup_line_frac                  1 - distinct/total lines
-    - top_bigram_frac                most-frequent-bigram share (computed
-      shuffle-free: sort the bigram array, fold a {prev,run,best} struct —
-      the max run of a sorted array IS the mode count)
-    - stop_hits                      distinct Gopher stopwords present
-    - gopher_pass                    AND of the published thresholds
-
-    Ratios are round(·,6) of exact-int divisions, so the DuckDB oracle
-    reproduces them bit-for-bit; the pass flag compares the ROUNDED values.
-    """
-    t = F.col(text_col)
+def gopher_signal_cols(t: Column) -> dict[str, Column]:
+    """The Gopher/C4 signal expressions keyed by canonical output name —
+    shared by gopher_signals (full per-doc table) and the composite
+    training filter / quality rollup, so every consumer gates on the
+    byte-identical expression. All JVM-side higher-order functions; adding
+    them to a projection costs no shuffle."""
     toks = F.split(F.trim(t), " +")
     n_words = F.size(toks)
     nw1 = F.greatest(n_words, F.lit(1))
@@ -296,30 +278,72 @@ def gopher_signals(
         )
     )
 
+    return {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": mean_word_len,
+        "alpha_word_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "dup_line_frac": dup_line_frac,
+        "top_bigram_frac": top_bigram_frac,
+        "stop_hits": stop_hits.cast("int"),
+    }
+
+
+def gopher_pass_col(df_or_cols) -> Column:
+    """AND of the published Gopher thresholds over already-named signal
+    columns (a DataFrame after gopher_signals, or the dict from
+    gopher_signal_cols). Compares the ROUNDED values so Spark and the
+    DuckDB oracle agree bit-for-bit at the boundaries."""
+    c = (
+        (lambda n: df_or_cols[n])
+        if isinstance(df_or_cols, dict)
+        else (lambda n: F.col(n))
+    )
+    return (
+        c("n_words").between(50, 100000)
+        & c("mean_word_len").between(3.0, 10.0)
+        & (c("symbol_ratio") < 0.1)
+        & (c("bullet_line_frac") < 0.9)
+        & (c("ellipsis_line_frac") < 0.3)
+        & (c("alpha_word_frac") > 0.8)
+        & (c("dup_line_frac") < 0.3)
+        & (c("top_bigram_frac") < 0.2)
+        & (c("stop_hits") >= 2)
+    )
+
+
+def gopher_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-family repetition + structure quality signals, per doc —
+    the r03 verdict's quality-depth gap (quality_score covers only length
+    and space ratio; production filters also gate on repetition and symbol
+    floods). All JVM-side higher-order functions over ONE projection — no
+    shuffle, no Python — so the operator runs at scan speed over 100 TB.
+
+    Signals (Rae et al. 2021 "Gopher" §A1.1 + Raffel et al. 2020 "C4"):
+    - n_words, mean_word_len         word count / mean word length bands
+    - alpha_word_frac                words containing an alphabetic char
+    - symbol_ratio                   '#' + ellipsis occurrences per word
+    - bullet_line_frac               lines starting with a bullet
+    - ellipsis_line_frac             lines ending with an ellipsis
+    - dup_line_frac                  1 - distinct/total lines
+    - top_bigram_frac                most-frequent-bigram share (computed
+      shuffle-free: sort the bigram array, fold a {prev,run,best} struct —
+      the max run of a sorted array IS the mode count)
+    - stop_hits                      distinct Gopher stopwords present
+    - gopher_pass                    AND of the published thresholds
+
+    Ratios are round(·,6) of exact-int divisions, so the DuckDB oracle
+    reproduces them bit-for-bit; the pass flag compares the ROUNDED values.
+    """
+    sig = gopher_signal_cols(F.col(text_col))
     out = docs.select(
-        F.col(id_col),
-        n_words.cast("int").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_word_frac"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        dup_line_frac.alias("dup_line_frac"),
-        top_bigram_frac.alias("top_bigram_frac"),
-        stop_hits.cast("int").alias("stop_hits"),
+        F.col(id_col), *[expr.alias(name) for name, expr in sig.items()]
     )
-    return out.withColumn(
-        "gopher_pass",
-        F.col("n_words").between(50, 100000)
-        & F.col("mean_word_len").between(3.0, 10.0)
-        & (F.col("symbol_ratio") < 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
-        & (F.col("ellipsis_line_frac") < 0.3)
-        & (F.col("alpha_word_frac") > 0.8)
-        & (F.col("dup_line_frac") < 0.3)
-        & (F.col("top_bigram_frac") < 0.2)
-        & (F.col("stop_hits") >= 2),
-    )
+    return out.withColumn("gopher_pass", gopher_pass_col(out))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
