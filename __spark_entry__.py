@@ -749,7 +749,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode_ok must be FALSE here: the payloads are UTF-8 text, never PNG —
     # the flag proves the fabricated-pixel fallback is visible, not silent
     return feats.select(
-        "media_id", "n_bytes", "content_md5", "width", "height", "decode_ok"
+        "media_id", "n_bytes", "content_md5", "width", "height", "decode_ok",
+        "decode_status",
     )
 
 
@@ -787,7 +788,7 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back to fabricated pixels would flip it and break the oracle hash
     return feats.select(
         "conv_id", "turn_idx", "page", "n_bytes", "content_md5", "width",
-        "height", "decode_ok",
+        "height", "decode_ok", "decode_status",
     )
 
 
@@ -809,7 +810,7 @@ def q_media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.select(
         "conv_id", "turn_idx", "page", "n_bytes", "content_md5", "width",
-        "height", "mean_luma", "decode_ok",
+        "height", "mean_luma", "decode_ok", "decode_status",
     )
 
 
@@ -1650,12 +1651,14 @@ def oracle_sql() -> dict[str, str]:
                    png_md5 AS content_md5,
                    px_w AS width,
                    px_h AS height,
-                   TRUE AS decode_ok
+                   TRUE AS decode_ok,
+                   'ok' AS decode_status
             FROM '{render_golden}'
         """,
         "media_features_jpeg": f"""
             SELECT conv_id, turn_idx, page, n_bytes, content_md5,
-                   width, height, mean_luma, TRUE AS decode_ok
+                   width, height, mean_luma, TRUE AS decode_ok,
+                   'ok' AS decode_status
             FROM '{G.ensure_jpeg_media_golden(ORACLE_SF_DIR)}'
         """,
         "d3_render_dedup": f"""
@@ -1884,7 +1887,8 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS content_md5,
                    CAST(16 + (greatest(octet_length(encode(text)), 1) % 48) AS INTEGER) AS width,
                    CAST(16 + ((greatest(octet_length(encode(text)), 1) // 7) % 48) AS INTEGER) AS height,
-                   FALSE AS decode_ok
+                   FALSE AS decode_ok,
+                   'unknown_format' AS decode_status
             FROM documents
         """,
     }

@@ -33,6 +33,7 @@ __all__ = [
     "mostly_black",
     "decode_image",
     "decode_image_ex",
+    "decode_image_status",
     "resize_nearest",
     "perceptual_similarity",
     "perceptual_keep_mask",
@@ -71,6 +72,48 @@ def mostly_black(rgb: np.ndarray, thresh: int = 15, frac: float = 0.95) -> bool:
     return float(np.mean((rgb < thresh).all(axis=-1))) >= frac
 
 
+def decode_image_status(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode image bytes to (HxWx3 uint8 array, decode_status).
+
+    ``decode_status`` is the corpus-coverage taxonomy (r03 verdict #5 — a
+    coverage metric needs a *reason*, not just a boolean):
+
+    - ``"ok"``                       real pixels decoded
+    - ``"unsupported_progressive"``  progressive JPEG (SOF2)
+    - ``"unsupported_format"``       spec-legal but outside the decoders
+      (16-bit PNG depth, hierarchical/lossless/arithmetic JPEG, sampling
+      factors > 2, multi-scan baseline)
+    - ``"corrupt"``                  malformed/truncated PNG or JPEG stream
+    - ``"unknown_format"``           no recognizable signature (the
+      deterministic fabricated-pixel path)
+
+    Adam7-interlaced PNG decodes for REAL (no status needed); every
+    non-"ok" status returns the deterministic fabricated fallback so
+    downstream features stay reproducible.
+    """
+    from .jpeg import JpegError, decode_jpeg, is_jpeg
+    from .png import PngError, decode_png, is_png
+
+    status = "unknown_format"
+    if is_png(data):
+        try:
+            return decode_png(data), "ok"
+        except PngError as e:
+            status = e.status
+    elif is_jpeg(data):
+        try:
+            return decode_jpeg(data), "ok"
+        except JpegError as e:
+            status = e.status
+    n = max(1, len(data))
+    w = 16 + (n % 48)
+    h = 16 + ((n // 7) % 48)
+    px = np.frombuffer(data, dtype=np.uint8)
+    reps = (w * h * 3 + max(1, px.size) - 1) // max(1, px.size)
+    arr = np.tile(px if px.size else np.zeros(1, np.uint8), reps)[: w * h * 3]
+    return arr.reshape(h, w, 3), status
+
+
 def decode_image_ex(data: bytes) -> tuple[np.ndarray, bool]:
     """Decode image bytes to (HxWx3 uint8 array, decode_ok).
 
@@ -91,26 +134,8 @@ def decode_image_ex(data: bytes) -> tuple[np.ndarray, bool]:
     ``kernels.jpeg`` — /DCTDecode is the dominant embedded-image format)
     both decode for real.
     """
-    from .jpeg import JpegError, decode_jpeg, is_jpeg
-    from .png import PngError, decode_png, is_png
-
-    if is_png(data):
-        try:
-            return decode_png(data), True
-        except PngError:
-            pass  # malformed png -> deterministic fallback below
-    elif is_jpeg(data):
-        try:
-            return decode_jpeg(data), True
-        except JpegError:
-            pass  # malformed/non-baseline jpeg -> deterministic fallback
-    n = max(1, len(data))
-    w = 16 + (n % 48)
-    h = 16 + ((n // 7) % 48)
-    px = np.frombuffer(data, dtype=np.uint8)
-    reps = (w * h * 3 + max(1, px.size) - 1) // max(1, px.size)
-    arr = np.tile(px if px.size else np.zeros(1, np.uint8), reps)[: w * h * 3]
-    return arr.reshape(h, w, 3), False
+    arr, status = decode_image_status(data)
+    return arr, status == "ok"
 
 
 def decode_image(data: bytes) -> np.ndarray:

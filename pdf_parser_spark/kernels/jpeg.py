@@ -35,7 +35,15 @@ __all__ = ["is_jpeg", "decode_jpeg", "encode_jpeg", "JpegError"]
 
 
 class JpegError(ValueError):
-    pass
+    """``status`` classifies failures for the corpus decode-coverage metric:
+    "corrupt" (malformed/truncated stream), "unsupported_progressive"
+    (SOF2), or "unsupported_format" (other spec-legal files outside this
+    baseline decoder: hierarchical/lossless/arithmetic SOFs, 16-bit quant,
+    sampling factors > 2, non-interleaved multi-scan)."""
+
+    def __init__(self, msg: str, status: str = "corrupt"):
+        super().__init__(msg)
+        self.status = status
 
 
 def is_jpeg(data: bytes) -> bool:
@@ -416,7 +424,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported")
+                    raise JpegError(
+                        "16-bit quant tables unsupported",
+                        status="unsupported_format",
+                    )
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
                 qts[tq] = tbl
@@ -434,14 +445,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise JpegError("only 8-bit precision")
+                raise JpegError("only 8-bit precision", status="unsupported_format")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("non-baseline SOF unsupported")
+        elif marker in (0xC2, 0xCA):  # progressive DCT (Huffman/arith)
+            raise JpegError(
+                "progressive jpeg unsupported", status="unsupported_progressive"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(
+                "non-baseline SOF unsupported", status="unsupported_format"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -452,7 +469,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # non-interleaved multi-scan baseline: decoding only the
                 # first (Y) scan would return gray-replicated RGB with
                 # decode_ok=True — silently wrong pixels. Fall back visibly.
-                raise JpegError("multi-scan baseline unsupported")
+                raise JpegError(
+                    "multi-scan baseline unsupported", status="unsupported_format"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
@@ -472,7 +491,9 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
     comps = [s[0] for s in scan]
     for c in comps:
         if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-            raise JpegError("sampling factors > 2 unsupported")
+            raise JpegError(
+                "sampling factors > 2 unsupported", status="unsupported_format"
+            )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)

@@ -10,9 +10,16 @@ correct PNG reader needs for real-corpus files:
 
 - chunk walk with length/CRC framing (CRC not verified — content is local),
 - IHDR: color types 0 (gray, depths 1/2/4/8), 2 (RGB), 3 (palette, depths
-  1/2/4/8, PLTE chunk), 4 (gray+alpha), 6 (RGBA); interlace 0 only,
+  1/2/4/8, PLTE chunk), 4 (gray+alpha), 6 (RGBA),
+- interlace 0 (sequential) AND 1 (Adam7: seven sub-images decoded from the
+  one zlib stream, each with its own per-pass scanline filtering and packed
+  row padding, scattered onto the full grid — spec §8.2),
 - concatenated IDAT zlib stream,
 - all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
+
+``PngError.status`` classifies failures for the corpus decode-coverage
+metric: "corrupt" (malformed / truncated) vs "unsupported_format"
+(spec-legal but outside this decoder, e.g. 16-bit depth).
 
 Filter performance: None/Up/Sub are fully vectorized (Sub is a per-filter-
 unit cumsum — the filter's left-neighbor recurrence is exactly a prefix sum
@@ -39,7 +46,9 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 
 
 class PngError(ValueError):
-    pass
+    def __init__(self, msg: str, status: str = "corrupt"):
+        super().__init__(msg)
+        self.status = status
 
 
 def is_png(data: bytes) -> bool:
@@ -48,6 +57,11 @@ def is_png(data: bytes) -> bool:
 
 # samples per pixel by color type (palette is 1 index sample per pixel)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 # depths allowed per color type (PNG spec §11.2.2; 16-bit unsupported here)
 _DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
 
@@ -151,14 +165,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise PngError("missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if (
-        ctype not in _CHANNELS
-        or depth not in _DEPTHS.get(ctype, ())
-        or comp != 0
-        or filt != 0
-        or interlace != 0
-    ):
-        raise PngError(f"unsupported format (depth={depth} ctype={ctype})")
+    if ctype not in _CHANNELS or depth not in _DEPTHS.get(ctype, ()):
+        raise PngError(
+            f"unsupported format (depth={depth} ctype={ctype})",
+            status="unsupported_format",
+        )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise PngError(f"bad IHDR method fields (comp={comp} filt={filt} il={interlace})")
     if w == 0 or h == 0:
         raise PngError("empty image")
     ch = _CHANNELS[ctype]
@@ -166,24 +179,39 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"bad idat: {e}") from e
-    n_samples = w * ch
-    row_bytes = (n_samples * depth + 7) // 8
     fu = max(1, (ch * depth) // 8)
-    rows = _unfilter(raw, h, row_bytes, fu)
-    samples = _unpack_samples(rows, depth, n_samples)
+    if interlace == 0:
+        row_bytes = (w * ch * depth + 7) // 8
+        rows = _unfilter(raw, h, row_bytes, fu)
+        grid = _unpack_samples(rows, depth, w * ch).reshape(h, w, ch)
+    else:  # Adam7: seven independently filtered sub-images, one stream
+        grid = np.zeros((h, w, ch), dtype=np.int64)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # pass absent for small images (spec §8.2)
+            rb = (pw * ch * depth + 7) // 8
+            need = ph * (rb + 1)
+            rows = _unfilter(raw[pos : pos + need], ph, rb, fu)
+            pos += need
+            grid[y0::ys, x0::xs, :] = _unpack_samples(rows, depth, pw * ch).reshape(
+                ph, pw, ch
+            )
 
     if ctype == 3:
         if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
             raise PngError("palette image without a valid PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = samples.reshape(h, w)
+        idx = grid[:, :, 0]
         if int(idx.max()) >= pal.shape[0]:
             raise PngError("palette index out of range")
         return pal[idx]
 
     if depth != 8:  # gray, sub-byte depth: scale to 8-bit (spec §12.5)
-        samples = samples * 255 // ((1 << depth) - 1)
-    px = samples.astype(np.uint8).reshape(h, w, ch)
+        grid = grid * 255 // ((1 << depth) - 1)
+    px = grid.astype(np.uint8)
     if ctype == 2:
         return px
     if ctype == 6:

@@ -39,12 +39,17 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), False),
         T.StructField("mean_luma", T.DoubleType(), False),
         T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_status", T.StringType(), False),
     ]
 )
 
 # decode_image lives in the pure-kernel layer (golden runner needs it
 # without Spark imports); re-exported here for operator users
-from ..kernels.images import decode_image, decode_image_ex  # noqa: E402,F401
+from ..kernels.images import (  # noqa: E402,F401
+    decode_image,
+    decode_image_ex,
+    decode_image_status,
+)
 
 
 def as_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -75,7 +80,7 @@ def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(data) if data is not None else b""
-                arr, ok = decode_image_ex(b)
+                arr, status = decode_image_status(b)
                 out.append(
                     (
                         int(mid),
@@ -84,7 +89,8 @@ def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                         int(arr.shape[1]),
                         int(arr.shape[0]),
                         round(float(arr.mean()), 6),
-                        bool(ok),
+                        status == "ok",
+                        status,
                     )
                 )
             yield pd.DataFrame(
@@ -162,6 +168,7 @@ def media_features_keyed(
             T.StructField("height", T.IntegerType(), False),
             T.StructField("mean_luma", T.DoubleType(), False),
             T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("decode_status", T.StringType(), False),
         ]
     )
 
@@ -170,7 +177,7 @@ def media_features_keyed(
             feats = []
             for data in pdf[payload_col]:
                 b = bytes(data) if data is not None else b""
-                arr, ok = decode_image_ex(b)
+                arr, status = decode_image_status(b)
                 feats.append(
                     (
                         len(b),
@@ -178,7 +185,8 @@ def media_features_keyed(
                         int(arr.shape[1]),
                         int(arr.shape[0]),
                         round(float(arr.mean()), 6),
-                        bool(ok),
+                        status == "ok",
+                        status,
                     )
                 )
             out = pdf[key_cols].reset_index(drop=True).copy()
@@ -186,7 +194,7 @@ def media_features_keyed(
                 feats,
                 columns=[
                     "n_bytes", "content_md5", "width", "height", "mean_luma",
-                    "decode_ok",
+                    "decode_ok", "decode_status",
                 ],
             )
             yield pd.concat([out, fdf], axis=1)

@@ -65,8 +65,9 @@ def test_progressive_sof_raises():
     data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC2  # SOF2: progressive
-    with pytest.raises(JpegError, match="non-baseline"):
+    with pytest.raises(JpegError, match="progressive") as ei:
         decode_jpeg(bytes(data))
+    assert ei.value.status == "unsupported_progressive"
 
 
 def test_truncated_jpeg_flags_fallback():

@@ -156,3 +156,116 @@ def test_roundtrip_with_own_encoder_still_green():
 
     rgb = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3) * 3) & 0xFF
     assert (decode_png(encode_png(rgb)) == rgb).all()
+
+
+# ----------------------------------------------------------------- Adam7 ---
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_png_i(w, h, depth, ctype, raw_rows: bytes, plte: bytes | None = None) -> bytes:
+    """make_png with interlace=1 in IHDR."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+    out = SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(raw_rows))
+    return out + chunk(b"IEND", b"")
+
+
+def interlace_stream(samples: np.ndarray, depth: int) -> bytes:
+    """Independent Adam7 interlacer (test-side oracle): (h, w, ch) sample
+    array -> the concatenated filtered pass streams, filter 0 per row,
+    per-pass row padding at sub-byte depths."""
+    h, w, ch = samples.shape
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        sub = samples[y0::ys, x0::xs, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for r in range(ph):
+            flat = sub[r].reshape(-1)
+            if depth == 8:
+                row = bytes(int(v) for v in flat)
+            else:
+                row = pack_bits([int(v) for v in flat], depth)
+            out += b"\x00" + row
+    return bytes(out)
+
+
+def test_adam7_rgb_roundtrip():
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 256, size=(9, 10, 3), dtype=np.uint8)
+    png = make_png_i(10, 9, 8, 2, interlace_stream(ref.astype(np.int64), 8))
+    assert np.array_equal(decode_png(png), ref)
+
+
+def test_adam7_small_images_missing_passes():
+    # 1x1: only pass 1 exists; 3x2: passes 1, 6 (x=1 col), 7 (y=1 row)
+    for h, w in [(1, 1), (2, 3), (4, 4), (5, 8)]:
+        rng = np.random.default_rng(h * 10 + w)
+        ref = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        png = make_png_i(w, h, 8, 2, interlace_stream(ref.astype(np.int64), 8))
+        assert np.array_equal(decode_png(png), ref), (h, w)
+
+
+def test_adam7_gray_depth1_packed_rows():
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, size=(11, 13, 1), dtype=np.int64)
+    png = make_png_i(13, 11, 1, 0, interlace_stream(bits, 1))
+    expect = np.repeat((bits * 255).astype(np.uint8), 3, axis=2)
+    assert np.array_equal(decode_png(png), expect)
+
+
+def test_adam7_palette_depth4():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 4, size=(9, 9, 1), dtype=np.int64)
+    png = make_png_i(9, 9, 4, 3, interlace_stream(idx, 4), plte)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(decode_png(png), pal[idx[:, :, 0]])
+
+
+# ------------------------------------------------------- status taxonomy ---
+
+def test_decode_status_taxonomy():
+    from pdf_parser_spark.kernels.images import decode_image_status
+
+    # unknown signature -> fabricated fallback
+    arr, st = decode_image_status(b"just some text")
+    assert st == "unknown_format"
+
+    # 16-bit PNG: spec-legal, outside the decoder
+    rows = b"\x00" + bytes(6)
+    png16 = make_png(1, 1, 16, 2, rows)
+    _, st = decode_image_status(png16)
+    assert st == "unsupported_format"
+
+    # truncated PNG -> corrupt
+    ok = make_png(3, 1, 8, 2, b"\x00" + bytes(9))
+    _, st = decode_image_status(ok[:30])
+    assert st == "corrupt"
+
+    # progressive JPEG (SOF2) -> unsupported_progressive
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+        [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+    )
+    _, st = decode_image_status(sof2)
+    assert st == "unsupported_progressive"
+
+    # truncated entropy stream in a real baseline jpeg -> corrupt
+    from pdf_parser_spark.kernels.jpeg import encode_jpeg
+
+    good = encode_jpeg(np.full((16, 16, 3), 128, dtype=np.uint8))
+    _, st = decode_image_status(good[: len(good) - 10])
+    assert st == "corrupt"
+
+    # interlaced PNG now decodes for REAL
+    ref = np.arange(9 * 8 * 3, dtype=np.uint8).reshape(9, 8, 3)
+    png = make_png_i(8, 9, 8, 2, interlace_stream(ref.astype(np.int64), 8))
+    arr, st = decode_image_status(png)
+    assert st == "ok" and np.array_equal(arr, ref)
