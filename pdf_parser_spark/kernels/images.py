@@ -78,18 +78,18 @@ def decode_image_status(data: bytes) -> tuple[np.ndarray, str]:
     ``decode_status`` is the corpus-coverage taxonomy (r03 verdict #5 — a
     coverage metric needs a *reason*, not just a boolean):
 
-    - ``"ok"``                       real pixels decoded
-    - ``"unsupported_progressive"``  progressive JPEG (SOF2)
-    - ``"unsupported_format"``       spec-legal but outside the decoders
-      (16-bit PNG depth, hierarchical/lossless/arithmetic JPEG, sampling
-      factors > 2, multi-scan baseline)
-    - ``"corrupt"``                  malformed/truncated PNG or JPEG stream
-    - ``"unknown_format"``           no recognizable signature (the
-      deterministic fabricated-pixel path)
+    - ``"ok"``                real pixels decoded
+    - ``"unsupported_format"``  spec-legal but outside the decoders
+      (16-bit PNG depth, hierarchical/lossless/arithmetic JPEG, 12/16-bit
+      precision, sampling factors > 2)
+    - ``"corrupt"``           malformed/truncated PNG or JPEG stream
+    - ``"unknown_format"``    no recognizable signature (the deterministic
+      fabricated-pixel path)
 
-    Adam7-interlaced PNG decodes for REAL (no status needed); every
-    non-"ok" status returns the deterministic fabricated fallback so
-    downstream features stay reproducible.
+    Adam7-interlaced PNG, progressive (SOF2) JPEG, and non-interleaved
+    multi-scan baseline JPEG all decode for REAL (kernels/png.py,
+    kernels/jpeg.py); every non-"ok" status returns the deterministic
+    fabricated fallback so downstream features stay reproducible.
     """
     from .jpeg import JpegError, decode_jpeg, is_jpeg
     from .png import PngError, decode_png, is_png

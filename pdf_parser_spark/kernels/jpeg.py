@@ -4,23 +4,33 @@ predominantly /DCTDecode and previously always fell back to fabricated
 pixels (``pdfplumber/pdf_image_extractor_improved.py:77-124`` runs its pixel
 filters on PIL-decoded images of any format).
 
-Decoder (``decode_jpeg``) — general baseline (SOF0) reader:
-- marker walk: DQT (8-bit tables), DHT (canonical bits/huffval), SOF0,
+Decoder (``decode_jpeg``) — baseline (SOF0/1) AND progressive (SOF2) reader:
+- marker walk: DQT (8-bit tables), DHT (canonical bits/huffval), SOF,
   SOS, DRI + RSTn restart handling, EOI; APPn/COM skipped,
+- every scan accumulates into persistent per-component coefficient stores
+  (one reconstruction at EOI), which uniformly covers interleaved baseline,
+  NON-INTERLEAVED multi-scan baseline, and the full progressive feature set
+  of T.81 Annex G: spectral selection (band scans with EOB runs) and
+  successive approximation (DC/AC first + refinement passes with
+  correction bits),
 - arbitrary per-component sampling factors in {1, 2} (covers 4:4:4, 4:2:2,
   4:2:0 — what libjpeg-encoded corpus files actually use), nearest-neighbor
   chroma upsampling,
 - entropy-coded segment with 0xFF00 byte-unstuffing, per-component DC
   prediction, vectorized (einsum) 8x8 IDCT, JFIF YCbCr->RGB,
-- raises ``JpegError`` on progressive (SOF2) / arithmetic / 16-bit-quant /
+- raises ``JpegError`` on arithmetic / hierarchical / lossless / 12-bit /
   >2 sampling files, so callers fall back VISIBLY (decode_ok=False).
 
-Encoder (``encode_jpeg``) — deterministic baseline writer used by the
-render-media pipeline and the test vectors: 4:4:4 or 4:2:0, the Annex-K
-example quantization tables, and SELF-DEFINED flat canonical Huffman tables
-(all DC symbols at 4 bits, all 162 AC symbols at 8 bits — valid per the
-spec, carried in DHT, and never emitting the all-ones code). Any conformant
-baseline decoder reads its output; table choice only costs compression.
+Encoders — deterministic writers used by the render-media pipeline and the
+test vectors: ``encode_jpeg`` (baseline) and ``encode_jpeg_progressive``
+(SOF2, arbitrary scan script; defaults to the libjpeg-style 10-scan
+progression). Both quantize identically, so decoding both encodings of one
+image yields byte-identical pixels — the codec tests pin this. 4:4:4 or
+4:2:0, the Annex-K example quantization tables, and SELF-DEFINED flat
+canonical Huffman tables (all DC symbols at 4 bits, all AC symbols at 8
+bits — valid per the spec, carried in DHT, and never emitting the all-ones
+code). Any conformant decoder reads the output; table choice only costs
+compression.
 
 Everything is integer/float64-deterministic: no RNG, no platform-dependent
 fast paths.
@@ -31,15 +41,14 @@ import struct
 
 import numpy as np
 
-__all__ = ["is_jpeg", "decode_jpeg", "encode_jpeg", "JpegError"]
+__all__ = ["is_jpeg", "decode_jpeg", "encode_jpeg", "encode_jpeg_progressive", "JpegError"]
 
 
 class JpegError(ValueError):
     """``status`` classifies failures for the corpus decode-coverage metric:
-    "corrupt" (malformed/truncated stream), "unsupported_progressive"
-    (SOF2), or "unsupported_format" (other spec-legal files outside this
-    baseline decoder: hierarchical/lossless/arithmetic SOFs, 16-bit quant,
-    sampling factors > 2, non-interleaved multi-scan)."""
+    "corrupt" (malformed/truncated stream) or "unsupported_format"
+    (spec-legal files outside this decoder: hierarchical/lossless/
+    arithmetic SOFs, 12/16-bit precision, sampling factors > 2)."""
 
     def __init__(self, msg: str, status: str = "corrupt"):
         super().__init__(msg)
@@ -128,6 +137,12 @@ _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_AC_VALS = sorted(_AC_SYMBOLS)
 _ENC_DC = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
 _ENC_AC = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+# progressive scans additionally need the EOBn symbols (r<<4, r=1..14);
+# a separate flat table keeps the baseline encoder's bytes unchanged
+_AC_PROG_SYMBOLS = sorted(_AC_SYMBOLS + [r << 4 for r in range(1, 15)])
+_ENC_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_ACP = _canonical_codes(_ENC_ACP_BITS, _AC_PROG_SYMBOLS)
 
 
 class _BitWriter:
@@ -293,6 +308,218 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------- progressive encoder ---
+
+# libjpeg-style default progression: DC first at Al=1, luma AC split into two
+# spectral bands at Al=2, chroma AC at Al=1, then refinements down to Al=0.
+_DEFAULT_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+    ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+]
+
+
+class _ProgressiveWriter:
+    """Per-scan entropy writer with EOB-run and buffered-correction-bit
+    state (the encode_mcu_AC_* shape from T.81 Annex G)."""
+
+    def __init__(self):
+        self.bw = _BitWriter()
+        self.eob_run = 0
+        self.pending = []  # correction bits buffered behind the EOB run
+
+    def flush_eobrun(self) -> None:
+        if self.eob_run > 0:
+            r = self.eob_run.bit_length() - 1
+            code, ln = _ENC_ACP[r << 4] if r else _ENC_ACP[0x00]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eob_run - (1 << r), r)
+            self.eob_run = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def end_block_with_eob(self, correction_bits: list[int]) -> None:
+        self.eob_run += 1
+        self.pending.extend(correction_bits)
+        if self.eob_run == 0x7FFF:
+            self.flush_eobrun()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        return self.bw.flush()
+
+
+def _encode_ac_first(pw: _ProgressiveWriter, blk, ss: int, se: int, al: int) -> None:
+    vals = [
+        (abs(int(blk[k])) >> al) * (1 if blk[k] >= 0 else -1)
+        for k in range(ss, se + 1)
+    ]
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    if last_nz < 0:
+        pw.end_block_with_eob([])
+        return
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        pw.flush_eobrun()
+        while run >= 16:
+            code, ln = _ENC_ACP[0xF0]
+            pw.bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = _ENC_ACP[(run << 4) | size]
+        pw.bw.write(code, ln)
+        pw.bw.write(bits, size)
+        run = 0
+    if last_nz < se - ss:
+        pw.end_block_with_eob([])
+
+
+def _encode_ac_refine(pw: _ProgressiveWriter, blk, ss: int, se: int, al: int) -> None:
+    absvals = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # index of the last NEWLY-significant coefficient
+    for i, a in enumerate(absvals):
+        if a == 1:
+            eob = i
+    run = 0
+    buffered: list[int] = []
+    for i, a in enumerate(absvals):
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            pw.flush_eobrun()
+            code, ln = _ENC_ACP[0xF0]
+            pw.bw.write(code, ln)
+            run -= 16
+            for b in buffered:
+                pw.bw.write(b, 1)
+            buffered = []
+        if a > 1:  # history nonzero: one correction bit, run unaffected
+            buffered.append(a & 1)
+            continue
+        pw.flush_eobrun()
+        code, ln = _ENC_ACP[(run << 4) | 1]
+        pw.bw.write(code, ln)
+        pw.bw.write(1 if blk[ss + i] >= 0 else 0, 1)
+        for b in buffered:
+            pw.bw.write(b, 1)
+        buffered = []
+        run = 0
+    if run > 0 or buffered:
+        pw.end_block_with_eob(buffered)
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray,
+    script: list[tuple] | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """Encode an HxWx3 uint8 array as a PROGRESSIVE (SOF2) JFIF JPEG.
+
+    ``script`` is a list of (component_indices, Ss, Se, Ah, Al) scans; the
+    default is the libjpeg-style 10-scan progression (spectral selection +
+    successive approximation). Quantized coefficients are identical to
+    ``encode_jpeg``'s, so decoding both encodings of the same image must
+    yield byte-identical pixels — the property the codec tests pin.
+    """
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise JpegError("expected HxWx3")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    ycc = _rgb_to_ycbcr(rgb)
+    if subsample:
+        ph, pw_ = -h % 2, -w % 2
+        cc = np.pad(ycc[1:], ((0, 0), (0, ph), (0, pw_)), mode="edge")
+        cc = cc.reshape(2, cc.shape[1] // 2, 2, cc.shape[2] // 2, 2).mean(axis=(2, 4))
+        planes = [ycc[0], cc[0], cc[1]]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        planes = [ycc[0], ycc[1], ycc[2]]
+        samp = [(1, 1), (1, 1), (1, 1)]
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+    qids = [0, 1, 1]
+    coefs = [
+        _encode_plane_blocks(_blocks_of(p), qt) for p, qt in zip(planes, qts)
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QT_LUMA[_ZIGZAG]))
+    out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in _QT_CHROMA[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for i, ((sh, sv), qid) in enumerate(zip(samp, qids), start=1):
+        sof += bytes([i, (sh << 4) | sv, qid])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_ENC_ACP_BITS) + bytes(_AC_PROG_SYMBOLS))
+
+    for comp_ids, ss, se, ah, al in script or _DEFAULT_SCRIPT:
+        pw = _ProgressiveWriter()
+        if ss == 0:  # DC scan: interleaved MCU walk over listed components
+            pred = {ci: 0 for ci in comp_ids}
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in comp_ids:
+                        sh, sv = samp[ci]
+                        c = coefs[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                r = min(my * sv + by, c.shape[0] - 1)
+                                q = min(mx * sh + bx, c.shape[1] - 1)
+                                dc = int(c[r, q, 0])
+                                if ah:  # refinement: one raw bit per block
+                                    pw.bw.write((dc >> al) & 1, 1)
+                                else:
+                                    v = dc >> al  # arithmetic shift, like libjpeg
+                                    diff = v - pred[ci]
+                                    pred[ci] = v
+                                    size, bits = _magnitude(diff)
+                                    code, ln = _ENC_DC[size]
+                                    pw.bw.write(code, ln)
+                                    if size:
+                                        pw.bw.write(bits, size)
+        else:  # AC scan: single component, its own block grid
+            (ci,) = comp_ids
+            sh, sv = samp[ci]
+            cw = -(-w * sh // hmax)
+            chh = -(-h * sv // vmax)
+            wb, hb = -(-cw // 8), -(-chh // 8)
+            c = coefs[ci]
+            enc = _encode_ac_refine if ah else _encode_ac_first
+            for by in range(hb):
+                for bx in range(wb):
+                    enc(pw, c[min(by, c.shape[0] - 1), min(bx, c.shape[1] - 1)],
+                        ss, se, al)
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00 if ss == 0 else 0x10])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += pw.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder ---
 
 class _BitReader:
@@ -395,7 +622,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG byte string to an HxWx3 uint8 RGB array."""
+    """Decode a JPEG byte string to an HxWx3 uint8 RGB array.
+
+    Handles baseline (SOF0/1) — interleaved or non-interleaved multi-scan —
+    and progressive (SOF2) with both spectral selection and successive
+    approximation (ITU-T T.81 Annex G): every scan accumulates into
+    persistent per-component coefficient stores, and reconstruction
+    (dequant + IDCT + upsample + YCbCr) runs once at EOI.
+    """
     if not is_jpeg(data):
         raise JpegError("not a jpeg")
     pos = 2
@@ -403,7 +637,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dc_tabs: dict[int, _HuffTable] = {}
     ac_tabs: dict[int, _HuffTable] = {}
     frame = None
+    stores: list[np.ndarray] = []
+    scanned: list[bool] = []
     restart_interval = 0
+    saw_scan = False
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -442,112 +679,255 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tab = _HuffTable(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise JpegError("only 8-bit precision", status="unsupported_format")
+            if fh == 0 or fw == 0:
+                raise JpegError("empty image")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xCA):  # progressive DCT (Huffman/arith)
+            for c in comps:
+                if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                    raise JpegError(
+                        "sampling factors > 2 unsupported",
+                        status="unsupported_format",
+                    )
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+                "hmax": max(c["h"] for c in comps),
+                "vmax": max(c["v"] for c in comps),
+            }
+            frame["mcus_x"] = (fw + 8 * frame["hmax"] - 1) // (8 * frame["hmax"])
+            frame["mcus_y"] = (fh + 8 * frame["vmax"] - 1) // (8 * frame["vmax"])
+            stores = [
+                np.zeros((frame["mcus_y"] * c["v"], frame["mcus_x"] * c["h"], 64),
+                         dtype=np.int64)
+                for c in comps
+            ]
+            scanned = [False] * nc
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            # hierarchical / lossless / 12-bit / arithmetic-coded families
             raise JpegError(
-                "progressive jpeg unsupported", status="unsupported_progressive"
-            )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError(
-                "non-baseline SOF unsupported", status="unsupported_format"
+                "non-baseline/arithmetic SOF unsupported", status="unsupported_format"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
-            ns = body[0]
-            if ns < len(frame["comps"]):
-                # non-interleaved multi-scan baseline: decoding only the
-                # first (Y) scan would return gray-replicated RGB with
-                # decode_ok=True — silently wrong pixels. Fall back visibly.
-                raise JpegError(
-                    "multi-scan baseline unsupported", status="unsupported_format"
-                )
-            scan = []
-            for i in range(ns):
-                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
+            pos = _decode_sos(
+                data, pos, body, frame, stores, scanned,
+                qts, dc_tabs, ac_tabs, restart_interval,
             )
+            saw_scan = True
         # else: APPn/COM — skipped
-    raise JpegError("no scan found")
+    if not saw_scan:
+        raise JpegError("no scan found")
+    if not all(scanned):
+        raise JpegError("component never scanned")
+    return _reconstruct(frame, stores, qts)
 
 
-def _decode_scan(data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval):
-    h, w = frame["h"], frame["w"]
-    if h == 0 or w == 0:
-        raise JpegError("empty image")
-    comps = [s[0] for s in scan]
-    for c in comps:
-        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
-            raise JpegError(
-                "sampling factors > 2 unsupported", status="unsupported_format"
+def _decode_sos(
+    data, pos, body, frame, stores, scanned, qts, dc_tabs, ac_tabs, restart_interval
+):
+    """Decode one entropy-coded scan into the coefficient stores; returns the
+    stream position of the next marker segment.
+
+    One code path serves baseline and progressive: a baseline SOS is simply
+    (Ss=0, Se=63, Ah=0, Al=0), for which the progressive first-pass block
+    decode degenerates to the sequential algorithm (an EOB code is an EOB
+    run of exactly one block)."""
+    ns = body[0]
+    scan = []
+    for i in range(ns):
+        cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+        try:
+            ci = next(
+                j for j, c in enumerate(frame["comps"]) if c["id"] == cs
             )
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # per-component coefficient storage (full MCU grid)
-    store = []
-    for c in comps:
-        bv, bh = mcus_y * c["v"], mcus_x * c["h"]
-        store.append(np.zeros((bv, bh, 64), dtype=np.int64))
+        except StopIteration:
+            raise JpegError("scan references unknown component") from None
+        scan.append((ci, tt >> 4, tt & 0x0F))
+    ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = a >> 4, a & 0x0F
+    if frame["progressive"]:
+        if ss == 0 and se != 0:
+            raise JpegError("bad progressive DC band")
+        if ss > 0 and ns != 1:
+            raise JpegError("progressive AC scan must be single-component")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0  # baseline ignores the approximation bytes
+    if se > 63 or ss > se:
+        raise JpegError("bad spectral band")
+    for ci, _, _ in scan:
+        scanned[ci] = True
 
     br = _BitReader(data, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, (c, td, ta) in enumerate(scan):
-                dct = dc_tabs.get(td)
-                act = ac_tabs.get(ta)
-                if dct is None or act is None:
-                    raise JpegError("missing huffman table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]
-                        size = dct.decode(br)
-                        diff = _extend(br.take(size), size) if size else 0
-                        pred[ci] += diff
-                        blk[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = act.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC index overflow")
-                            blk[k] = _extend(br.take(s), s)
-                            k += 1
+    pred = {ci: 0 for ci, _, _ in scan}
+    eobrun = 0
 
-    # dequantize + IDCT per component, vectorized over blocks
+    def tables(ci, td, ta):
+        dct = dc_tabs.get(td) if ss == 0 else None
+        act = ac_tabs.get(ta) if se > 0 else None
+        if (ss == 0 and ah == 0 and dct is None) or (se > 0 and act is None):
+            raise JpegError("missing huffman table")
+        return dct, act
+
+    def first_pass(blk, ci, dct, act):
+        nonlocal eobrun
+        if ss == 0:
+            size = dct.decode(br)
+            diff = _extend(br.take(size), size) if size else 0
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        if se == 0:
+            return
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = max(ss, 1)
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                # EOB run: this block done, plus (eobrun) more blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.take(r)
+                break
+            k += r
+            if k > se:
+                raise JpegError("AC index overflow")
+            blk[k] = _extend(br.take(s), s) << al
+            k += 1
+
+    p1 = 1 << al
+
+    def refine_nonzero(blk, k):
+        """Correction bit for a coefficient with nonzero history."""
+        if br.take(1) and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+    def refine_pass(blk, ci, dct, act):
+        nonlocal eobrun
+        if ss == 0:  # DC refinement: one appended bit per block
+            blk[0] |= br.take(1) << al
+            return
+        # AC refinement (T.81 G.2.2.3 — the libjpeg decode_mcu_AC_refine
+        # shape). On an EOB code, eobrun counts the CURRENT block too
+        # (1 << r, decremented after the remainder pass below), because the
+        # current block's nonzero coefs from k..se still carry correction
+        # bits even when r == 0.
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = act.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.take(r)
+                        break
+                    # r == 15 (ZRL): advance over 16 zero-history coefs
+                else:
+                    if s != 1:
+                        raise JpegError("bad refinement magnitude")
+                    newval = p1 if br.take(1) else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        refine_nonzero(blk, k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    refine_nonzero(blk, k)
+                k += 1
+            eobrun -= 1
+
+    decode_block = refine_pass if ah else first_pass
+
+    def restart():
+        nonlocal eobrun
+        br.sync_restart()
+        for k in pred:
+            pred[k] = 0
+        eobrun = 0
+
+    unit_count = 0
+    if ns == 1:
+        # non-interleaved: the data unit is ONE block, iterated over the
+        # component's own block grid (NOT the MCU-padded grid) — T.81 A.2.2
+        ci, td, ta = scan[0]
+        c = frame["comps"][ci]
+        dct, act = tables(ci, td, ta)
+        cw = -(-frame["w"] * c["h"] // frame["hmax"])  # ceil
+        chh = -(-frame["h"] * c["v"] // frame["vmax"])
+        wb, hb = -(-cw // 8), -(-chh // 8)
+        for by in range(hb):
+            for bx in range(wb):
+                if restart_interval and unit_count and unit_count % restart_interval == 0:
+                    restart()
+                unit_count += 1
+                decode_block(stores[ci][by, bx], ci, dct, act)
+    else:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if restart_interval and unit_count and unit_count % restart_interval == 0:
+                    restart()
+                unit_count += 1
+                for ci, td, ta in scan:
+                    c = frame["comps"][ci]
+                    dct, act = tables(ci, td, ta)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                stores[ci][my * c["v"] + by, mx * c["h"] + bx],
+                                ci, dct, act,
+                            )
+
+    # skip to the next marker segment (past trailing stuffing/RSTn bytes)
+    p = max(br.pos, pos)
+    d = data
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            if 0xD0 <= d[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(d)
+
+
+def _reconstruct(frame, stores, qts):
+    """Dequantize + IDCT per component (vectorized over blocks), upsample,
+    crop, and convert to RGB."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for ci, c in enumerate(comps):
+    for ci, c in enumerate(frame["comps"]):
         qt = qts.get(c["tq"])
         if qt is None:
             raise JpegError("missing quant table")
-        zz = store[ci] * qt  # (bv, bh, 64) zigzag order
+        zz = stores[ci] * qt  # (bv, bh, 64) zigzag order
         blocks = np.zeros((zz.shape[0], zz.shape[1], 64), dtype=np.float64)
         blocks[:, :, _ZIGZAG] = zz
         blocks = blocks.reshape(zz.shape[0], zz.shape[1], 8, 8)
@@ -565,7 +945,7 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     if len(planes) != 3:
-        raise JpegError(f"{len(planes)}-component scan unsupported")
+        raise JpegError(f"{len(planes)}-component frame unsupported")
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

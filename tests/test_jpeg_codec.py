@@ -61,13 +61,13 @@ def test_marker_stream_structure():
     assert (prec, h, w, nc) == (8, 8, 8, 3)
 
 
-def test_progressive_sof_raises():
+def test_arithmetic_sof_raises():
     data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF2: progressive
-    with pytest.raises(JpegError, match="progressive") as ei:
+    data[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(JpegError, match="arithmetic") as ei:
         decode_jpeg(bytes(data))
-    assert ei.value.status == "unsupported_progressive"
+    assert ei.value.status == "unsupported_format"
 
 
 def test_truncated_jpeg_flags_fallback():
@@ -108,8 +108,8 @@ def test_fill_bytes_before_marker_are_skipped():
     assert abs(int(out[0, 0, 0]) - 90) <= 1
 
 
-def test_multi_scan_baseline_raises_visibly():
-    # a 1-component SOS against a 3-component frame must fall back (raise),
+def test_unscanned_components_raise_visibly():
+    # a lone Y scan against a 3-component frame must fall back (raise),
     # not silently return gray-replicated RGB from the Y scan alone
     data = encode_jpeg(np.full((8, 8, 3), 120, np.uint8))
     i = data.index(b"\xff\xda")
@@ -119,7 +119,7 @@ def test_multi_scan_baseline_raises_visibly():
     one_comp_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, cid, 0x00, 0, 63, 0])
     sos_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
     spliced = data[:i] + one_comp_sos + data[i + 2 + sos_len :]
-    with pytest.raises(JpegError, match="multi-scan"):
+    with pytest.raises(JpegError, match="never scanned"):
         decode_jpeg(spliced)
 
 
@@ -129,3 +129,139 @@ def test_subsampled_chroma_still_carries_color():
     out = decode_jpeg(encode_jpeg(rgb, subsample=True))
     mean = out.reshape(-1, 3).mean(axis=0)
     assert mean[0] > 150 and mean[1] < 80 and mean[2] < 80, mean
+
+
+# ------------------------------------------------- progressive / multi-scan ---
+
+def _rand_img(seed, h, w):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_default_script_matches_baseline(subsample):
+    """encode_jpeg and encode_jpeg_progressive quantize identically, so the
+    decoded pixels must be byte-identical — any desync in the Annex-G
+    spectral-selection / successive-approximation machinery breaks this."""
+    from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+    img = _rand_img(7, 37, 29)
+    base = decode_jpeg(encode_jpeg(img, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        # spectral selection only (no successive approximation)
+        [((0, 1, 2), 0, 0, 0, 0), ((0,), 1, 63, 0, 0),
+         ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)],
+        # banded luma + 2-level successive approximation
+        [((0, 1, 2), 0, 0, 0, 1),
+         ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+         ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+         ((0,), 1, 63, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+         ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0)],
+        # deep SA ladder on everything
+        [((0, 1, 2), 0, 0, 0, 3),
+         ((0,), 1, 63, 0, 3), ((1,), 1, 63, 0, 3), ((2,), 1, 63, 0, 3),
+         ((0, 1, 2), 0, 0, 3, 2), ((0, 1, 2), 0, 0, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+         ((0,), 1, 63, 3, 2), ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+         ((1,), 1, 63, 3, 2), ((1,), 1, 63, 2, 1), ((1,), 1, 63, 1, 0),
+         ((2,), 1, 63, 3, 2), ((2,), 1, 63, 2, 1), ((2,), 1, 63, 1, 0)],
+    ],
+)
+def test_progressive_scripts_match_baseline(script):
+    from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+    for seed, (h, w) in [(1, (16, 16)), (2, (9, 23)), (3, (1, 1)), (4, (41, 8))]:
+        img = _rand_img(seed, h, w)
+        base = decode_jpeg(encode_jpeg(img))
+        prog = decode_jpeg(encode_jpeg_progressive(img, script=script))
+        assert np.array_equal(base, prog), (seed, h, w)
+
+
+def test_progressive_smooth_gradient_sparse_ac():
+    """Smooth content quantizes to sparse AC blocks — the EOB-run +
+    buffered-correction-bit paths get their coverage here (the bug class
+    the refinement decoder actually had during development)."""
+    from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    img = np.stack([(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=2)
+    img = img.astype(np.uint8)
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsample=sub))
+        assert np.array_equal(base, prog)
+
+
+def test_noninterleaved_multiscan_baseline_decodes():
+    """A spec-legal baseline file with one SOS per component (T.81 A.2.2)
+    must decode identically to the interleaved encoding — previously this
+    raised unsupported_format."""
+    from pdf_parser_spark.kernels.jpeg import (
+        _ENC_AC, _ENC_DC, _BitWriter, _blocks_of, _encode_plane_blocks,
+        _magnitude, _rgb_to_ycbcr, _QT_CHROMA, _QT_LUMA,
+        _ENC_AC_BITS, _ENC_AC_VALS, _ENC_DC_BITS, _ENC_DC_VALS, _ZIGZAG,
+    )
+
+    img = _rand_img(11, 24, 17)
+    h, w = img.shape[:2]
+    ycc = _rgb_to_ycbcr(img)
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA]
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QT_LUMA[_ZIGZAG]))
+    out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in _QT_CHROMA[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for i, qid in enumerate([0, 1, 1], start=1):
+        sof += bytes([i, 0x11, qid])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    for ci in range(3):  # one full-band scan per component
+        coefs = _encode_plane_blocks(_blocks_of(ycc[ci]), qts[ci])
+        bw = _BitWriter()
+        pred = 0
+        for by in range(coefs.shape[0]):
+            for bx in range(coefs.shape[1]):
+                blk = coefs[by, bx]
+                diff = int(blk[0]) - pred
+                pred = int(blk[0])
+                size, bits = _magnitude(diff)
+                code, ln = _ENC_DC[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run, last_nz = 0, 0
+                for k in range(63, 0, -1):
+                    if blk[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = _ENC_AC[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, ln = _ENC_AC[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if last_nz != 63:
+                    code, ln = _ENC_AC[0x00]
+                    bw.write(code, ln)
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        out += bw.flush()
+    out += b"\xff\xd9"
+
+    interleaved = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(decode_jpeg(bytes(out)), interleaved)

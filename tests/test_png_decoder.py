@@ -250,12 +250,19 @@ def test_decode_status_taxonomy():
     _, st = decode_image_status(ok[:30])
     assert st == "corrupt"
 
-    # progressive JPEG (SOF2) -> unsupported_progressive
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + bytes(
+    # progressive JPEG (SOF2) now decodes for REAL
+    from pdf_parser_spark.kernels.jpeg import encode_jpeg_progressive
+
+    pimg = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    arr, st = decode_image_status(encode_jpeg_progressive(pimg))
+    assert st == "ok" and arr.shape == (16, 16, 3)
+
+    # arithmetic-coded SOF (SOF9): spec-legal, outside the decoder
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 11) + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
-    _, st = decode_image_status(sof2)
-    assert st == "unsupported_progressive"
+    _, st = decode_image_status(sof9)
+    assert st == "unsupported_format"
 
     # truncated entropy stream in a real baseline jpeg -> corrupt
     from pdf_parser_spark.kernels.jpeg import encode_jpeg
