@@ -2,21 +2,26 @@
 
     read transcripts (conv_id, turn_idx, role, text, tool, ts)
       → [resume anti-join — see lineage.py]
-      → salt repartition: hash(conv_id, turn_idx) breaks hot-conversation
-        skew completely because extraction is per-turn (no cross-turn state)
-      → mapInPandas(extract kernel)   — ONE Arrow-batched Python crossing;
-        all per-payload work (sniff, html strip, pdf parse, layout, NMS,
-        dedup) happens inside the batch, JVM↔Python only at batch boundaries
-      → repartitionByRange(conv_id, turn_idx)   (BASELINE.json:14)
+      → mapInPandas(extract kernel) DIRECTLY on scan partitions — ONE
+        Arrow-batched Python crossing; all per-payload work (sniff, html
+        strip, pdf parse, layout, NMS, dedup) happens inside the batch,
+        JVM↔Python only at batch boundaries
+      → repartitionByRange(conv_id)   (BASELINE.json:14)
       → window-ordered reassembly: row_number over (conv_id ORDER BY turn_idx)
       → write + lineage
 
 Scale notes (100 TB / 1000 executors):
-- The only wide exchanges are the salt repartition and the range repartition;
-  both shuffle the *input* rows once and the *extracted* rows once. The
-  extracted rows are much smaller than the raw payloads for html/pdf kinds,
-  and the heavy payload column is dropped before the range shuffle unless the
-  caller asks to keep it.
+- The only wide exchange is the post-kernel range repartition, which moves
+  the EXTRACTED rows (much smaller than the raw payloads for html/pdf kinds;
+  the heavy payload column is dropped before the shuffle unless the caller
+  asks to keep it). The kernel runs on scan partitions directly: the 16 MB
+  split ceiling bounds per-task payload regardless of conversation skew, so
+  the pre-kernel salt shuffle (which moved the ENTIRE payload corpus once —
+  100 TB through the network at target scale) buys nothing extraction needs.
+  ``extract_turns(salt=True)`` remains available for sources whose per-ROW
+  kernel cost is wildly skewed (salting redistributes rows, splits cannot).
+  Measured at x64/x256 local corpora: no-salt is 30% faster at 32 cores and
+  never slower at 8 (scripts in BENCH/BASELINE.md).
 - ``spark.sql.execution.arrow.maxRecordsPerBatch`` should be lowered
   (256–1024) when payloads are MBs; see session_defaults().
 - AQE coalesces the post-shuffle partitions when kinds skew small.
@@ -142,15 +147,22 @@ def _kernel_factory(cfg: ExtractConfig, keep_payload: bool):
 def extract_turns(
     df: DataFrame,
     cfg: ExtractConfig = DEFAULT_CONFIG,
-    salt: bool = True,
+    salt: bool = False,
     keep_payload: bool = False,
 ) -> DataFrame:
     """transcripts DataFrame → extraction results (unordered).
 
-    ``salt=True`` redistributes rows by hash(conv_id, turn_idx) before the
-    kernel so one hot conversation cannot pin a single task (BASELINE.json:14
-    skew mandate). Extraction is stateless per turn, so full hashing is safe
-    and strictly better than bucket salting here.
+    The kernel runs on scan partitions directly: extraction is stateless
+    per turn and ``spark.sql.files.maxPartitionBytes`` (16 MB, see
+    session_defaults) bounds per-task payload, so hot-conversation skew
+    (BASELINE.json:14) is already capped by split granularity — no
+    conversation can pin a task to more than one split's bytes.
+
+    ``salt=True`` additionally redistributes rows by hash(conv_id,
+    turn_idx) before the kernel. That moves the FULL payload through one
+    extra shuffle (at 100 TB: the whole corpus over the network), so it is
+    opt-in, for sources whose per-ROW kernel cost is skewed enough that
+    byte-balanced splits still produce unbalanced tasks.
     """
     from . import ship_package
 
