@@ -315,15 +315,35 @@ def orchestrate() -> None:
     tp8 = round(turns_w / w_med["spark_sec"][8], 1)
     tp32 = round(turns_w / w_med["spark_sec"][32], 1)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Preserve sections appended after the campaign-generated ones (traffic
+    # A/B, lang_id A/B, regression adjudications, cross-round checks) — a
+    # refresh run must not erase that history.
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appended = ""
+    if os.path.exists(md_path):
+        with open(md_path) as f:
+            old = f.read()
+        for marker in (
+            "\n## Cross-checking",
+            "\n## Traffic-scaling",
+            "\n## lang_id",
+            "\n## r01->r02",
+        ):
+            i = old.find(marker)
+            if i != -1:
+                appended = old[i:]
+                break
+    with open(md_path, "w") as f:
         f.write(
             f"""# BENCH baseline — extraction throughput + N-vs-4N scaling
 
 North rule: throughput scaling efficiency >= 0.8 between cluster sizes N
 and 4N (`BASELINE.json`). Sandbox stand-in per task mandate: the same job
 at two `local[k]` levels on identical input, fresh JVM per level, warm-up
-excluded. Job = full pipeline: salt repartition -> mapInPandas extraction
-kernel -> repartitionByRange(conv_id) -> window reassembly -> noop sink.
+excluded. Job = full pipeline: scan (16 MB splits) -> mapInPandas
+extraction kernel on the scan partitions (pre-kernel salt is opt-in; the
+payload corpus no longer crosses a shuffle) -> repartitionByRange(conv_id)
+-> window reassembly -> noop sink.
 
 ## Primary pair local[{PRIMARY[0]}] -> local[{PRIMARY[1]}] (absolute criterion)
 
@@ -398,8 +418,10 @@ implementation):**
    exactly where the Spark job lands too.
 
 **Structural checks** (the plan has no serial stage): 16 MB scan splits
-keep scan parallelism >= cores; the salt shuffle spreads hot conversations
-across all tasks; the kernel is per-turn parallel. A/B at 32 cores:
+keep scan parallelism >= cores and cap any conversation's bytes per task
+(extraction is stateless per turn, so split-level spreading replaces the
+former pre-kernel salt shuffle); the kernel is per-turn parallel. A/B at
+32 cores (measured on the salted r03 shape):
 shuffle.partitions = cores 35.6 s, 2x cores 50.6 s, 3x cores 71.7 s — one
 task wave per core is the tuned shape (finer waves add python-worker and
 Arrow batch churn that contends at full occupancy); at 8 cores wave count
@@ -415,6 +437,8 @@ ms-scale per-payload kernels with horizontally partitioned orchestration
 in place of process forking.
 """
         )
+        if appended:
+            f.write(appended)
     print(json.dumps(summary))
 
 

@@ -229,12 +229,17 @@ def orchestrate() -> None:
     }
     print(json.dumps(summary))
 
-    md = ["\n## Traffic-scaling A/B (constant rows + kernel, varying bytes moved)\n"]
+    md = [
+        "\n## Traffic-scaling A/B — no-salt default pipeline "
+        "(constant rows + kernel, varying bytes moved)\n"
+    ]
     md.append(
-        f"Corpus x{MULT} ({summary['eff_by_ballast'][str(BALLASTS[0])]} trials per "
-        f"cell is in the JSON); ballast rides scan + salt shuffle + Arrow, the "
-        f"kernel never reads it. Control = workload-exact mp.Pool (traffic-"
-        f"constant), interleaved in the same windows.\n"
+        f"Corpus x{MULT}, {N_TRIALS} trials per cell (raw trials in the JSON); "
+        f"ballast rides scan + Arrow only — the default pipeline no longer "
+        f"shuffles the payload before the kernel (salt is opt-in), so bytes "
+        f"moved per ballast byte drop by the former shuffle write+read. "
+        f"Control = workload-exact mp.Pool (traffic-constant), interleaved "
+        f"in the same windows.\n"
     )
     md.append("| ballast/row | input GB | 8->32 eff (median) | capability |")
     md.append("|---|---|---|---|")
