@@ -1334,7 +1334,21 @@ def _gopher_sql(docs_from: str) -> str:
 WITH base AS (
   SELECT doc_id, text,
          string_split_regex(trim(text), ' +') AS tk,
-         string_split(text, chr(10)) AS ln
+         string_split(text, chr(10)) AS ln,
+         -- C4 line rules: terminal punctuation, >= 3 words, no javascript.
+         -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+         -- array_join([]) is '' — normalize to the Spark side.
+         COALESCE(array_to_string(
+             list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '[.!?"”] *$')
+                              AND len(regexp_extract_all(l, '[^ ]+')) >= 3
+                              AND NOT regexp_matches(l, '(?i)javascript')),
+             chr(10)), '') AS ctext,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(l, '[.!?"”] *$')
+                              AND len(regexp_extract_all(l, '[^ ]+')) >= 3
+                              AND NOT regexp_matches(l, '(?i)javascript')))
+           AS n_ckept
   FROM {docs_from}),
 bg AS (
   SELECT doc_id,
@@ -1364,12 +1378,19 @@ sig AS (
          round((len(ln) - len(list_distinct(ln))) / len(ln), 6) AS dup_line_frac,
          CAST(len(list_filter([{stop_list}],
               m -> list_contains(tk, m))) AS INTEGER) AS stop_hits,
+         round(n_ckept / len(ln), 6) AS c4_kept_line_frac,
+         CAST(len(regexp_extract_all(ctext, '[.!?]')) AS INTEGER)
+           AS c4_n_sentences,
+         md5(ctext) AS c4_clean_md5,
+         (len(regexp_extract_all(ctext, '[.!?]')) >= 5
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, chr(123))) AS c4_pass,
          CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams
   FROM base)
 SELECT sig.doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
        bullet_line_frac, ellipsis_line_frac, dup_line_frac,
        round(COALESCE(best, 0) / greatest(n_bigrams, 1), 6) AS top_bigram_frac,
-       stop_hits,
+       stop_hits, c4_kept_line_frac, c4_n_sentences, c4_clean_md5, c4_pass,
        (n_words BETWEEN 50 AND 100000
         AND mean_word_len BETWEEN 3.0 AND 10.0
         AND symbol_ratio < 0.1

@@ -314,6 +314,53 @@ def gopher_pass_col(df_or_cols) -> Column:
     )
 
 
+# C4's cleaning rules (Raffel et al. 2020 "C4" §2.2). Line-level: keep a
+# line only if it ends in a terminal punctuation mark (period, exclamation,
+# question mark, or closing quote), has >= 3 words, and does not mention
+# javascript. Page-level: the cleaned page must still have >= 5 sentences
+# and must not contain "lorem ipsum" or a curly brace anywhere. The paper
+# leaves the line-vs-page ordering ambiguous; here sentences are counted on
+# the CLEANED text (post line-filter) — documented, deterministic, and
+# mirrored exactly by the DuckDB oracle.
+_C4_TERMINAL_RE = '[.!?"”] *$'
+
+
+def c4_clean_cols(t: Column) -> dict[str, Column]:
+    """C4 line-filter signal expressions keyed by output name — all JVM
+    higher-order functions over the same split-once line array the Gopher
+    structure gates use; adding them to a projection costs no shuffle.
+
+    - c4_kept_line_frac  surviving-line fraction under the line rules
+    - c4_n_sentences     terminal-punctuation count of the cleaned text
+    - c4_clean_md5       md5 of the cleaned (newline-rejoined) text — lets
+                         a pipeline dedup/diff cleaned pages without
+                         materializing them
+    - c4_pass            page-level gate (>= 5 sentences, no lorem ipsum,
+                         no curly brace)
+    """
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)  # split never returns an empty array
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.regexp_extract_all(l, F.lit("[^ ]+"), 0)) >= 3)
+        & ~l.rlike("(?i)javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(cleaned, F.lit("[.!?]"), 0))
+    c4_pass = (
+        (n_sentences >= 5)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return {
+        "c4_kept_line_frac": F.round(F.size(kept) / n_lines, 6),
+        "c4_n_sentences": n_sentences.cast("int"),
+        "c4_clean_md5": F.md5(cleaned),
+        "c4_pass": c4_pass,
+    }
+
+
 def gopher_signals(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -338,10 +385,20 @@ def gopher_signals(
 
     Ratios are round(·,6) of exact-int divisions, so the DuckDB oracle
     reproduces them bit-for-bit; the pass flag compares the ROUNDED values.
+
+    Also carries the C4 line-filter arm (c4_clean_cols): kept-line
+    fraction, cleaned-text sentence count + md5, and the page-level
+    c4_pass gate. The parquet documents are single-line and unpunctuated,
+    so (like the line-structure Gopher arms) the C4 columns are degenerate
+    there — discrimination coverage lives in the crafted-fixture pytest,
+    parity in the shared DuckDB mirror.
     """
     sig = gopher_signal_cols(F.col(text_col))
+    c4 = c4_clean_cols(F.col(text_col))
     out = docs.select(
-        F.col(id_col), *[expr.alias(name) for name, expr in sig.items()]
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in sig.items()],
+        *[expr.alias(name) for name, expr in c4.items()],
     )
     return out.withColumn("gopher_pass", gopher_pass_col(out))
 

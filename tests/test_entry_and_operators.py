@@ -519,6 +519,18 @@ _GOPHER_ROWS = [
     (8, "   "),
     # numeric doc: alpha_word_frac low
     (9, "12345 67890 11111 22222 33333 44444"),
+    # C4 keeper: 5 lines, all terminal-punctuated with >= 3 words; two
+    # sentences on one line push the count to 6 >= 5 -> c4_pass
+    (10, "the cat sat down.\nthe dog ran off!\nwas it fast? very fast indeed.\n"
+         "birds flew south.\nthe end came quietly."),
+    # C4 line drops: no terminal punct / < 3 words / javascript mention;
+    # only the first line survives -> 3 sentences < 5 -> no pass
+    (11, "one good sentence here. another one! and three?\nno terminal punct line\n"
+         "short line.\nenable javascript to continue.\ntrailing fragment"),
+    # C4 page gates: enough sentences but lorem ipsum / curly brace kill it
+    (12, "Lorem Ipsum dolor sit amet. more words here. and more again. "
+         "fourth sentence now. fifth sentence ends."),
+    (13, "function body { return x; } is code. one. two. three. four. five."),
 ]
 
 
@@ -551,6 +563,29 @@ def test_gopher_signals_values(spark):
 
     assert rows[9]["alpha_word_frac"] == 0.0
     assert rows[9]["gopher_pass"] is False
+
+    # C4 arm: all lines survive, 6 sentences -> page passes
+    assert rows[10]["c4_kept_line_frac"] == 1.0
+    assert rows[10]["c4_n_sentences"] == 6
+    assert rows[10]["c4_pass"] is True
+
+    # only the first line survives (no-punct / 2-word / javascript /
+    # fragment lines all drop); 3 cleaned sentences < 5
+    assert rows[11]["c4_kept_line_frac"] == 0.2
+    assert rows[11]["c4_n_sentences"] == 3
+    assert rows[11]["c4_pass"] is False
+
+    # page gates: lorem ipsum (case-insensitive) and curly brace
+    assert rows[12]["c4_n_sentences"] == 5
+    assert rows[12]["c4_pass"] is False
+    assert rows[13]["c4_n_sentences"] == 6
+    assert rows[13]["c4_pass"] is False
+
+    import hashlib
+    # cleaned text of 11 is exactly its surviving first line
+    assert rows[11]["c4_clean_md5"] == hashlib.md5(
+        b"one good sentence here. another one! and three?"
+    ).hexdigest()
 
 
 def test_gopher_signals_match_duckdb(spark):
