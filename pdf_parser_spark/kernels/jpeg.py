@@ -18,13 +18,17 @@ Decoder (``decode_jpeg``) — baseline (SOF0/1) AND progressive (SOF2) reader:
   chroma upsampling,
 - entropy-coded segment with 0xFF00 byte-unstuffing, per-component DC
   prediction, vectorized (einsum) 8x8 IDCT, JFIF YCbCr->RGB,
+- 4-component CMYK/YCCK frames via the Adobe APP14 transform byte
+  (Photoshop-inverted ink with the marker, plain ink without — the
+  libjpeg/PIL conventions; multiplicative CMYK->RGB composition),
 - raises ``JpegError`` on arithmetic / hierarchical / lossless / 12-bit /
   >2 sampling files, so callers fall back VISIBLY (decode_ok=False).
 
 Encoders — deterministic writers used by the render-media pipeline and the
-test vectors: ``encode_jpeg`` (baseline) and ``encode_jpeg_progressive``
+test vectors: ``encode_jpeg`` (baseline), ``encode_jpeg_progressive``
 (SOF2, arbitrary scan script; defaults to the libjpeg-style 10-scan
-progression). Both quantize identically, so decoding both encodings of one
+progression), and ``encode_jpeg_cmyk`` (4-component Adobe baseline,
+transform 0 or 2 — the decoder's CMYK test-vector source). Both quantize identically, so decoding both encodings of one
 image yields byte-identical pixels — the codec tests pin this. 4:4:4 or
 4:2:0, the Annex-K example quantization tables, and SELF-DEFINED flat
 canonical Huffman tables (all DC symbols at 4 bits, all AC symbols at 8
@@ -301,6 +305,91 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False) -> bytes:
     out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
     sos = bytes([3]) + b"".join(bytes([i + 1, 0x00]) for i in range(3))
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, ycck: bool = False) -> bytes:
+    """Encode an HxWx4 uint8 INK-value CMYK array as a baseline Adobe JPEG
+    (4:4:4, one interleaved scan, APP14 transform 0 or 2).
+
+    Stored samples follow the Photoshop convention ``_reconstruct``
+    inverts on read: transform 0 stores 255-ink per channel; transform 2
+    (YCCK) stores the YCbCr transform of the CMY ink channels plus
+    255-ink_K. Deterministic like ``encode_jpeg`` (fixed tables)."""
+    if cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise JpegError("expected HxWx4")
+    h, w = cmyk.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("empty image")
+    ink = cmyk.astype(np.float64)
+    if ycck:
+        ycc = _rgb_to_ycbcr(cmyk[:, :, :3])  # CMY ink through the RGB->YCC matrix
+        planes = [ycc[0], ycc[1], ycc[2], 255.0 - ink[:, :, 3]]
+        transform = 2
+    else:
+        planes = [255.0 - ink[:, :, i] for i in range(4)]
+        transform = 0
+    qts = [_QT_LUMA, _QT_CHROMA, _QT_CHROMA, _QT_LUMA]
+    qids = [0, 1, 1, 0]
+    coefs = [_encode_plane_blocks(_blocks_of(p), qt) for p, qt in zip(planes, qts)]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0, 0]
+    bv, bh = coefs[0].shape[:2]
+    for my in range(bv):
+        for mx in range(bh):
+            for ci in range(4):
+                blk = coefs[ci][my, mx]
+                diff = int(blk[0]) - pred[ci]
+                pred[ci] = int(blk[0])
+                size, bits = _magnitude(diff)
+                code, ln = _ENC_DC[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if blk[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = _ENC_AC[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, ln = _ENC_AC[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if last_nz != 63:
+                    code, ln = _ENC_AC[0x00]
+                    bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform))
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in _QT_LUMA[_ZIGZAG]))
+    out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in _QT_CHROMA[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for i, qid in enumerate(qids, start=1):
+        sof += bytes([i, 0x11, qid])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = bytes([4]) + b"".join(bytes([i + 1, 0x00]) for i in range(4))
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
@@ -641,6 +730,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scanned: list[bool] = []
     restart_interval = 0
     saw_scan = False
+    adobe_transform = None  # APP14 color-transform byte (None = no marker)
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -718,6 +808,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # 0=CMYK/RGB, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
@@ -731,7 +823,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise JpegError("no scan found")
     if not all(scanned):
         raise JpegError("component never scanned")
-    return _reconstruct(frame, stores, qts)
+    return _reconstruct(frame, stores, qts, adobe_transform)
 
 
 def _decode_sos(
@@ -917,9 +1009,16 @@ def _decode_sos(
     return len(d)
 
 
-def _reconstruct(frame, stores, qts):
+def _reconstruct(frame, stores, qts, adobe_transform=None):
     """Dequantize + IDCT per component (vectorized over blocks), upsample,
-    crop, and convert to RGB."""
+    crop, and convert to RGB.
+
+    4-component frames follow the libjpeg/PIL conventions: with an Adobe
+    APP14 marker the stored samples are INVERTED ink (Photoshop writes
+    255-ink; transform 2 = YCCK additionally runs the CMY channels through
+    the YCbCr transform of the ink values), without the marker the samples
+    are taken as plain non-inverted CMYK ink. RGB composes multiplicatively:
+    R = (255-C)(255-K)/255."""
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
@@ -944,6 +1043,22 @@ def _reconstruct(frame, stores, qts):
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) == 4:
+        if adobe_transform == 2:  # YCCK: CMY ink rides the YCbCr transform
+            y, cb, cr, k = planes
+            ink_c = y + 1.402 * (cr - 128.0)
+            ink_m = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ink_y = y + 1.772 * (cb - 128.0)
+            ink_k = 255.0 - k
+        elif adobe_transform is not None:  # Adobe CMYK: inverted ink
+            ink_c, ink_m, ink_y, ink_k = (255.0 - p for p in planes)
+        else:  # no APP14: plain CMYK ink (the ISO/libjpeg default guess)
+            ink_c, ink_m, ink_y, ink_k = planes
+        ink = np.stack([ink_c, ink_m, ink_y], axis=2)
+        ink = np.clip(ink, 0.0, 255.0)
+        ink_k = np.clip(ink_k, 0.0, 255.0)
+        rgb = (255.0 - ink) * (255.0 - ink_k)[:, :, None] / 255.0
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     if len(planes) != 3:
         raise JpegError(f"{len(planes)}-component frame unsupported")
     y, cb, cr = planes

@@ -9,8 +9,9 @@ rasters. PIL is absent in this container; this implements the subset a
 correct PNG reader needs for real-corpus files:
 
 - chunk walk with length/CRC framing (CRC not verified — content is local),
-- IHDR: color types 0 (gray, depths 1/2/4/8), 2 (RGB), 3 (palette, depths
-  1/2/4/8, PLTE chunk), 4 (gray+alpha), 6 (RGBA),
+- IHDR: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette,
+  depths 1/2/4/8, PLTE chunk), 4 (gray+alpha, 8/16), 6 (RGBA, 8/16) —
+  16-bit samples are big-endian pairs, rescaled to 8-bit,
 - interlace 0 (sequential) AND 1 (Adam7: seven sub-images decoded from the
   one zlib stream, each with its own per-pass scanline filtering and packed
   row padding, scattered onto the full grid — spec §8.2),
@@ -18,8 +19,11 @@ correct PNG reader needs for real-corpus files:
 - all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec §9).
 
 ``PngError.status`` classifies failures for the corpus decode-coverage
-metric: "corrupt" (malformed / truncated) vs "unsupported_format"
-(spec-legal but outside this decoder, e.g. 16-bit depth).
+metric: "corrupt" (malformed / truncated) vs "unsupported_format" (an
+IHDR depth/color-type combination outside the decoder's table — with
+16-bit support every spec-legal combination is now readable, so this
+status survives mainly for out-of-spec combinations and parity with the
+JPEG taxonomy).
 
 Filter performance: None/Up/Sub are fully vectorized (Sub is a per-filter-
 unit cumsum — the filter's left-neighbor recurrence is exactly a prefix sum
@@ -62,8 +66,8 @@ _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
-# depths allowed per color type (PNG spec §11.2.2; 16-bit unsupported here)
-_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+# depths allowed per color type (PNG spec §11.2.2; palette is never 16-bit)
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 
 
 def _unfilter(raw: bytes, h: int, row_bytes: int, fu: int) -> np.ndarray:
@@ -134,6 +138,10 @@ def _unpack_samples(rows: np.ndarray, depth: int, n_samples: int) -> np.ndarray:
     """
     if depth == 8:
         return rows[:, :n_samples].astype(np.int64)
+    if depth == 16:  # big-endian 2-byte samples (network order, spec §7.1)
+        hi = rows[:, 0::2].astype(np.int64)
+        lo = rows[:, 1::2].astype(np.int64)
+        return ((hi << 8) | lo)[:, :n_samples]
     bits = np.unpackbits(rows, axis=1)  # MSB-first, matching the spec
     fields = bits.reshape(rows.shape[0], -1, depth)
     weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
@@ -209,7 +217,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise PngError("palette index out of range")
         return pal[idx]
 
-    if depth != 8:  # gray, sub-byte depth: scale to 8-bit (spec §12.5)
+    if depth != 8:  # sub-byte or 16-bit: scale to 8-bit (spec §12.5; the
+        # floor form is the same linear map used for sub-byte depths — for
+        # 16-bit it differs from the >>8 shortcut by at most 1 LSB and is
+        # the documented deterministic choice)
         grid = grid * 255 // ((1 << depth) - 1)
     px = grid.astype(np.uint8)
     if ctype == 2:

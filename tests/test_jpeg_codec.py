@@ -265,3 +265,56 @@ def test_noninterleaved_multiscan_baseline_decodes():
 
     interleaved = decode_jpeg(encode_jpeg(img))
     assert np.array_equal(decode_jpeg(bytes(out)), interleaved)
+
+
+# ------------------------------------------------------- CMYK / YCCK ---
+
+
+def test_cmyk_roundtrip_both_transforms():
+    """Block-aligned flat ink regions survive both Adobe transforms: pure
+    cyan reads back as (0,255,255)-ish, bare paper as white."""
+    from pdf_parser_spark.kernels.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    ink = np.zeros((16, 16, 4), dtype=np.uint8)
+    ink[:, :8] = (255, 0, 0, 0)  # pure cyan ink
+    for ycck in (False, True):
+        data = encode_jpeg_cmyk(ink, ycck=ycck)
+        assert data == encode_jpeg_cmyk(ink, ycck=ycck)  # deterministic
+        rgb = decode_jpeg(data)
+        assert rgb.shape == (16, 16, 3)
+        assert (np.abs(rgb[:, 8:].astype(int) - 255) <= 4).all()  # white half
+        assert (rgb[:, :8, 0].astype(int) <= 6).all()  # cyan: R ~ 0
+        assert (np.abs(rgb[:, :8, 1:].astype(int) - 255) <= 6).all()
+
+
+def test_cmyk_pure_black_ink():
+    from pdf_parser_spark.kernels.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    ink = np.zeros((8, 8, 4), dtype=np.uint8)
+    ink[:, :, 3] = 255  # K only
+    for ycck in (False, True):
+        assert (decode_jpeg(encode_jpeg_cmyk(ink, ycck=ycck)).astype(int) <= 4).all()
+
+
+def test_cmyk_without_app14_reads_plain_ink():
+    """Stripping the Adobe marker flips the interpretation: transform-0
+    storage is 255-ink, and a markerless 4-component file is read as plain
+    ink — so encoded bare paper (ink 0) decodes as near-black."""
+    from pdf_parser_spark.kernels.jpeg import decode_jpeg, encode_jpeg_cmyk
+
+    ink = np.zeros((8, 8, 4), dtype=np.uint8)
+    data = encode_jpeg_cmyk(ink)
+    assert data[2:4] == b"\xff\xee" and data[6:11] == b"Adobe"
+    stripped = data[:2] + data[18:]  # drop the 16-byte APP14 segment
+    assert (decode_jpeg(data).astype(int) >= 251).all()  # white with marker
+    assert (decode_jpeg(stripped).astype(int) <= 4).all()  # black without
+
+
+def test_cmyk_through_decode_status():
+    from pdf_parser_spark.kernels.images import decode_image_status
+    from pdf_parser_spark.kernels.jpeg import encode_jpeg_cmyk
+
+    ink = np.zeros((8, 8, 4), dtype=np.uint8)
+    ink[:, :, 1] = 200
+    arr, st = decode_image_status(encode_jpeg_cmyk(ink, ycck=True))
+    assert st == "ok" and arr.shape == (8, 8, 3)

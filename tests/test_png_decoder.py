@@ -128,10 +128,38 @@ def test_palette_index_out_of_range_raises():
         decode_png(make_png(1, 1, 8, 3, rows, plte))
 
 
-def test_unsupported_depth16_raises():
-    rows = b"\x00" + bytes(8)
-    with pytest.raises(PngError, match="unsupported"):
-        decode_png(make_png(2, 1, 16, 0, rows))
+def test_depth16_gray_rescales():
+    # samples 0x0000, 0xFFFF, 0x8000, 0x0101 -> 0, 255, v*255//65535
+    rows = b"\x00" + bytes.fromhex("0000FFFF80000101")
+    img = decode_png(make_png(4, 1, 16, 0, rows))
+    expect = [0, 255, 0x8000 * 255 // 65535, 0x0101 * 255 // 65535]
+    assert img.shape == (1, 4, 3)
+    assert [int(v) for v in img[0, :, 0]] == expect
+    assert (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 0] == img[:, :, 2]).all()
+
+
+def test_depth16_rgb_sub_filter():
+    # 2x2 RGB16 with the Sub filter on row 0 (filter unit = 6 bytes): the
+    # second pixel's stored bytes are deltas against the first
+    px0 = struct.pack(">HHH", 0x1234, 0x0000, 0xFFFF)
+    px1_actual = struct.pack(">HHH", 0x1244, 0x0100, 0xFFFF)
+    delta = bytes((b - a) & 0xFF for a, b in zip(px0, px1_actual))
+    row0 = b"\x01" + px0 + delta
+    row1 = b"\x00" + struct.pack(">HHHHHH", 1, 2, 3, 4, 5, 6)
+    img = decode_png(make_png(2, 2, 16, 2, row0 + row1))
+    assert img.shape == (2, 2, 3)
+    assert [int(v) for v in img[0, 0]] == [
+        0x1234 * 255 // 65535, 0, 255]
+    assert [int(v) for v in img[0, 1]] == [
+        0x1244 * 255 // 65535, 0x0100 * 255 // 65535, 255]
+    assert [int(v) for v in img[1, 1]] == [
+        4 * 255 // 65535, 5 * 255 // 65535, 6 * 255 // 65535]
+
+
+def test_depth16_rgba_drops_alpha():
+    row = b"\x00" + struct.pack(">HHHH", 0xFFFF, 0x8000, 0x0000, 0x4242)
+    img = decode_png(make_png(1, 1, 16, 6, row))
+    assert [int(v) for v in img[0, 0]] == [255, 0x8000 * 255 // 65535, 0]
 
 
 def test_malformed_png_surfaces_fallback():
@@ -239,10 +267,16 @@ def test_decode_status_taxonomy():
     arr, st = decode_image_status(b"just some text")
     assert st == "unknown_format"
 
-    # 16-bit PNG: spec-legal, outside the decoder
-    rows = b"\x00" + bytes(6)
+    # 16-bit PNG decodes for REAL now
+    rows = b"\x00" + struct.pack(">HHH", 0xFFFF, 0, 0x8000)
     png16 = make_png(1, 1, 16, 2, rows)
-    _, st = decode_image_status(png16)
+    arr, st = decode_image_status(png16)
+    assert st == "ok" and [int(v) for v in arr[0, 0]] == [255, 0, 0x8000 * 255 // 65535]
+
+    # 16-bit PALETTE: not a spec-legal combination, outside the decoder
+    _, st = decode_image_status(
+        make_png(1, 1, 16, 3, b"\x00" + bytes(2), plte=bytes(3))
+    )
     assert st == "unsupported_format"
 
     # truncated PNG -> corrupt
