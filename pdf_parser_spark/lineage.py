@@ -83,6 +83,13 @@ def run_job(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    from .pipeline import _input_bytes, adaptive_split_bytes
+
+    cpus = num_partitions or spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(adaptive_split_bytes(_input_bytes(input_path), cpus)),
+    )
     turns = spark.read.schema(TRANSCRIPT_SPARK_SCHEMA).parquet(input_path)
     turns = with_bucket(turns, n_buckets)
 

@@ -28,6 +28,7 @@ Scale notes (100 TB / 1000 executors):
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -270,12 +271,60 @@ def extract_with_fallback(
     return ok_rows.unionByName(rescued).unionByName(kept_err)
 
 
+_SPLIT_MAX = 16 * 1024 * 1024  # session default; see session_defaults
+_SPLIT_MIN = 4 * 1024 * 1024
+_SPLIT_WAVES = 3  # target kernel waves per core — smooths split-size variance
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        for name in files:
+            if not name.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+def adaptive_split_bytes(total_bytes: int, cpus: int) -> int:
+    """Job-level ``spark.sql.files.maxPartitionBytes`` for a payload scan.
+
+    The kernel runs on scan partitions (extract_turns), so scan-split
+    granularity IS kernel task granularity. Byte-splitting quantizes: a
+    211 MB corpus under the 16 MB session default yields 13 tasks — 1.6
+    waves over 8 cores with a 5-task straggler wave, up to ~20% idle tail
+    that the retired pre-kernel salt shuffle used to rebalance (measured:
+    the r04 2->8 scaling dip). Sizing splits to ~3 waves per core
+    restores balance WITHOUT reintroducing a payload shuffle.
+
+    At production scale this is a no-op: total/(3*cpus) for 100 TB on any
+    real cluster is far above the 16 MB cap, so the session default rules
+    and the only effect is at bench/test scale where the input is small
+    relative to the core count. Floor of 4 MB keeps per-task fixed costs
+    (python worker handshake, Arrow setup) amortized.
+    """
+    if cpus <= 0:
+        return _SPLIT_MAX
+    return int(min(_SPLIT_MAX, max(_SPLIT_MIN, total_bytes // (_SPLIT_WAVES * cpus) + 1)))
+
+
 def run_extraction(
     spark: SparkSession,
     input_path: str,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Read → extract → reassemble. Write/lineage live in lineage.py."""
+    """Read → extract → reassemble. Write/lineage live in lineage.py.
+
+    Sets ``spark.sql.files.maxPartitionBytes`` for the session via
+    ``adaptive_split_bytes`` (the conf must be live when the scan EXECUTES,
+    so it cannot be scoped to this call; at production scale the value
+    equals the session default anyway)."""
+    cpus = num_partitions or spark.sparkContext.defaultParallelism
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes",
+        str(adaptive_split_bytes(_input_bytes(input_path), cpus)),
+    )
     df = spark.read.schema(TRANSCRIPT_SPARK_SCHEMA).parquet(input_path)
     return reassemble(extract_turns(df, cfg), num_partitions)
