@@ -83,20 +83,17 @@ def run_job(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    from .pipeline import _input_bytes, adaptive_split_bytes
+    from .pipeline import plan_scan
 
     cpus = num_partitions or spark.sparkContext.defaultParallelism
-    spark.conf.set(
-        "spark.sql.files.maxPartitionBytes",
-        str(adaptive_split_bytes(_input_bytes(input_path), cpus)),
-    )
+    salt = plan_scan(spark, input_path, cpus)
     turns = spark.read.schema(TRANSCRIPT_SPARK_SCHEMA).parquet(input_path)
     turns = with_bucket(turns, n_buckets)
 
     done = committed_buckets(spark, lineage_path, snapshot_id)
     todo = turns.join(F.broadcast(done), "bucket", "left_anti")
 
-    extracted = extract_turns(todo.drop("bucket"), cfg)
+    extracted = extract_turns(todo.drop("bucket"), cfg, salt=salt)
     result = reassemble(extracted, num_partitions)
     result = with_bucket(result, n_buckets)
 

@@ -162,8 +162,11 @@ def extract_turns(
     ``salt=True`` additionally redistributes rows by hash(conv_id,
     turn_idx) before the kernel. That moves the FULL payload through one
     extra shuffle (at 100 TB: the whole corpus over the network), so it is
-    opt-in, for sources whose per-ROW kernel cost is skewed enough that
-    byte-balanced splits still produce unbalanced tasks.
+    opt-in: for sources whose per-ROW kernel cost is skewed enough that
+    byte-balanced splits still produce unbalanced tasks, and for inputs
+    too small to fill one wave of cores even at the floor split size
+    (``run_extraction``/``run_job`` choose it automatically via
+    ``plan_scan`` — never at production scale).
     """
     from . import ship_package
 
@@ -309,22 +312,34 @@ def adaptive_split_bytes(total_bytes: int, cpus: int) -> int:
     return int(min(_SPLIT_MAX, max(_SPLIT_MIN, total_bytes // (_SPLIT_WAVES * cpus) + 1)))
 
 
+def plan_scan(spark: SparkSession, input_path: str, cpus: int) -> bool:
+    """Size the payload scan for the kernel stage; returns whether the
+    pre-kernel salt shuffle should run.
+
+    Sets ``spark.sql.files.maxPartitionBytes`` via ``adaptive_split_bytes``
+    (the conf must be live when the scan EXECUTES, so it cannot be scoped
+    to one call; at production scale the value equals the session default
+    anyway). If even floor-sized splits cannot fill ONE wave of cores, the
+    input is small enough that a balancing shuffle costs less than the
+    idle cores it removes — so salt exactly then (measured: the 53 MB
+    bench corpus is 13 floor splits over 32 cores; salting restored
+    22.4k -> 32k turns/s). Never true at production scale, where splits
+    outnumber cores by orders of magnitude and the shuffle would move the
+    full corpus over the network."""
+    total = _input_bytes(input_path)
+    split = adaptive_split_bytes(total, cpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    return total // split + 1 < cpus
+
+
 def run_extraction(
     spark: SparkSession,
     input_path: str,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Read → extract → reassemble. Write/lineage live in lineage.py.
-
-    Sets ``spark.sql.files.maxPartitionBytes`` for the session via
-    ``adaptive_split_bytes`` (the conf must be live when the scan EXECUTES,
-    so it cannot be scoped to this call; at production scale the value
-    equals the session default anyway)."""
+    """Read → extract → reassemble. Write/lineage live in lineage.py."""
     cpus = num_partitions or spark.sparkContext.defaultParallelism
-    spark.conf.set(
-        "spark.sql.files.maxPartitionBytes",
-        str(adaptive_split_bytes(_input_bytes(input_path), cpus)),
-    )
+    salt = plan_scan(spark, input_path, cpus)
     df = spark.read.schema(TRANSCRIPT_SPARK_SCHEMA).parquet(input_path)
-    return reassemble(extract_turns(df, cfg), num_partitions)
+    return reassemble(extract_turns(df, cfg, salt=salt), num_partitions)
