@@ -243,3 +243,31 @@ def test_minhash_verify_uses_doc_level_arrays(spark):
     plan = physical_plan(em.q_minhash_lsh_pairs(spark, SF))
     assert "array_intersect" in plan
     assert "collect_set" in plan
+
+
+def test_adaptive_split_bytes_policy():
+    """Pure-math pins for plan_scan's two decisions (no session needed)."""
+    from pdf_parser_spark.pipeline import adaptive_split_bytes
+
+    MB = 1024 * 1024
+    # production scale: far above the cap at any real cluster width
+    assert adaptive_split_bytes(100 * 1024 * 1024 * MB, 32000) == 16 * MB
+    # bench scale: 211 MB over 8 cores -> ~3 waves of ~8.8 MB splits
+    assert 8 * MB < adaptive_split_bytes(211 * MB, 8) < 10 * MB
+    # tiny inputs clamp to the 4 MB floor, never below
+    assert adaptive_split_bytes(10 * MB, 32) == 4 * MB
+    assert adaptive_split_bytes(0, 8) == 4 * MB
+    # degenerate cpus falls back to the session cap
+    assert adaptive_split_bytes(211 * MB, 0) == 16 * MB
+
+
+def test_plan_scan_salts_only_underfilled_inputs(spark, tmp_path, transcripts_parquet):
+    """The auto-salt fires exactly when floor splits < cores: the sf0.001
+    fixture (~1 MB) cannot fill 32 cores (salt), but trivially fills 1
+    core-equivalent (no salt at cpus=1)."""
+    from pdf_parser_spark.pipeline import plan_scan
+
+    assert plan_scan(spark, transcripts_parquet, 32) is True
+    assert plan_scan(spark, transcripts_parquet, 1) is False
+    # conf was set to a real byte count either way
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) >= 4 * 1024 * 1024
