@@ -19,10 +19,16 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["PROGRESS_SCHEMA", "conversation_progress"]
+__all__ = [
+    "PROGRESS_SCHEMA",
+    "DEDUP_SCHEMA",
+    "conversation_progress",
+    "streaming_exact_dedup",
+]
 
 PROGRESS_SCHEMA = T.StructType(
     [
@@ -83,6 +89,77 @@ def conversation_progress(extracted: DataFrame) -> DataFrame:
         _update,
         outputStructType=PROGRESS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------ streaming exact dedup ---
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("content_md5", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+    ]
+)
+
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType(), False)])
+
+
+def _dedup_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    first = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        cand = pdf.sort_values(["conv_id", "turn_idx"]).iloc[0]
+        if first is None or (str(cand["conv_id"]), int(cand["turn_idx"])) < (
+            str(first["conv_id"]),
+            int(first["turn_idx"]),
+        ):
+            first = cand
+    if state.exists or first is None:
+        return  # hash already claimed by an earlier micro-batch
+    state.update((True,))
+    yield pd.DataFrame(
+        [
+            {
+                "content_md5": key[0],
+                "conv_id": str(first["conv_id"]),
+                "turn_idx": int(first["turn_idx"]),
+            }
+        ]
+    )
+
+
+def streaming_exact_dedup(turns: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming counterpart of D1 (operators/dedup.exact_dedup): exact
+    content dedup over an append-only turn stream, first ARRIVAL wins.
+
+    The batch operator's deterministic first-wins needs a global
+    (conv_id, turn_idx) Window over the whole corpus; a stream trades that
+    for checkpointed per-hash state: the first micro-batch to present a
+    given md5(text) claims it (ties inside one micro-batch broken by
+    (conv_id, turn_idx), so a single-batch run IS the batch semantics),
+    and every later arrival of the same hash emits nothing. State is one
+    boolean per distinct hash in the state store — partitioned with the
+    stream, checkpointed, so an AvailableNow restart neither re-emits nor
+    re-claims. Emits one (content_md5, conv_id, turn_idx) claim row per
+    novel hash per micro-batch; consumers anti-join their payload stream
+    against the claims to materialize survivors.
+    """
+    from .. import ship_package
+
+    ship_package(turns.sparkSession)
+    hashed = turns.select(
+        F.md5(F.col(text_col)).alias("content_md5"), "conv_id", "turn_idx"
+    )
+    return hashed.groupBy("content_md5").applyInPandasWithState(
+        _dedup_update,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

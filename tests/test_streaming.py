@@ -157,6 +157,12 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     # already-emitted window must not change or re-emit
     _write_slice(rows(["2026-01-01 10:00:30", "2026-01-01 10:30:00"]),
                  f"{in_dir}/03.parquet")
+    # the file source orders its backlog by MODIFICATION TIME; three files
+    # written within one filesystem timestamp granule can swap micro-batch
+    # order (observed flake) — pin strictly increasing mtimes
+    base = os.stat(f"{in_dir}/01.parquet").st_mtime
+    for i, name in enumerate(["01.parquet", "02.parquet", "03.parquet"]):
+        os.utime(f"{in_dir}/{name}", (base + 10 * i, base + 10 * i))
     windowed_extraction_rates(spark, in_dir, out_dir, ckpt).awaitTermination()
     # a second run pushes the watermark further (finalizes w10:20)
     _write_slice(rows(["2026-01-01 10:40:00"]), f"{in_dir}/04.parquet")
@@ -173,6 +179,77 @@ def test_windowed_agg_watermark_drops_late_rows(spark, tmp_path):
     # append-mode exactly-once: every finalized window emitted exactly once
     assert out.groupby(["window_start", "payload_kind"]).size().max() == 1
     assert (out["payload_kind"] == "plain").all() and (out["n_fail"] == 0).all()
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """Checkpointed per-hash state: in-batch ties break by (conv_id,
+    turn_idx); a later micro-batch re-presenting a claimed hash emits
+    NOTHING (no re-claim after restart either); novel hashes still claim."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.pipeline import TRANSCRIPT_SPARK_SCHEMA
+    from pdf_parser_spark.streaming.stateful import streaming_exact_dedup
+
+    work = str(tmp_path / "dedup_stream")
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+
+    def rows(items):
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": c, "turn_idx": t, "role": "user",
+                    "text": x, "tool": "", "ts": pd.Timestamp("2026-01-01"),
+                }
+                for c, t, x in items
+            ]
+        )
+
+    # batch1: "x" duplicated in-batch (conv_b arrives "before" conv_a by
+    # sort, so (a,...) vs (b,...): conv_a:5 < conv_b:1 lexicographically)
+    _write_slice(rows([("conv_b", 1, "x"), ("conv_a", 5, "x"), ("conv_c", 2, "y")]),
+                 f"{in_dir}/batch1.parquet")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SPARK_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(in_dir)
+        )
+        claims = streaming_exact_dedup(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run", F.lit(batch_id)).write.mode("append").parquet(
+                out_dir
+            )
+
+        q = (
+            claims.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out_dir).toPandas()
+    assert len(first) == 2  # one claim per distinct text
+    wins = {r["conv_id"] for _, r in first.iterrows()}
+    assert wins == {"conv_a", "conv_c"}  # tie broken by (conv_id, turn_idx)
+
+    # batch2: "x" again (already claimed -> silent) + novel "z"
+    _write_slice(rows([("conv_d", 1, "x"), ("conv_e", 1, "z")]),
+                 f"{in_dir}/batch2.parquet")
+    run_once()
+    allc = spark.read.parquet(out_dir).toPandas()
+    assert len(allc) == 3
+    assert allc["content_md5"].is_unique  # never re-claimed across runs
+    assert set(allc["conv_id"]) == {"conv_a", "conv_c", "conv_e"}
+
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)
