@@ -110,13 +110,26 @@ def _content_stream(page: PageSpec, img_names: list[str]) -> bytes:
     return "\n".join(out).encode("latin-1")
 
 
-def build_pdf(pages: list[PageSpec], info: dict[str, str] | None = None) -> bytes:
+def build_pdf(
+    pages: list[PageSpec],
+    info: dict[str, str] | None = None,
+    objstm: bool = False,
+) -> bytes:
     """Serialize pages into a valid single-xref PDF 1.4 byte string.
 
     ``info`` emits a document information dictionary (/Info in the trailer —
     Title/Author/CreationDate etc. as literal strings), the metadata surface
     the reference's analyzer carries (``pdf_api/core/pdf_analyzer.py:42-43``,
     ``pdfplumber/pdf_page_extractor.py:37-60``).
+
+    ``objstm=True`` emits the PDF 1.5+ layout virtually every modern writer
+    produces: dict-only objects (catalog, pages tree, page dicts, /Info)
+    packed into one FlateDecode ``/Type /ObjStm`` object stream, and the
+    classic xref table + trailer replaced by a binary cross-reference
+    STREAM (``/Type /XRef``, ``/W [1 4 2]`` columns, rows PNG-Up-predicted
+    via ``/DecodeParms << /Predictor 12 >>``). Content and image streams
+    stay top-level (streams cannot live inside an object stream, spec
+    §7.5.7), so char byte-offset spans keep their raw-file anchors.
     """
     objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
     page_obj_ids: list[int] = []
@@ -180,6 +193,9 @@ def build_pdf(pages: list[PageSpec], info: dict[str, str] | None = None) -> byte
         body = " ".join(f"/{k} ({_escape(v)})" for k, v in info.items())
         info_id = add(f"<< {body} >>".encode("latin-1"))
 
+    if objstm:
+        return _serialize_objstm(objs, catalog_id, info_id)
+
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -195,6 +211,80 @@ def build_pdf(pages: list[PageSpec], info: dict[str, str] | None = None) -> byte
         f"trailer\n<< /Size {len(objs) + 1} /Root {catalog_id} 0 R{info_ref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode("latin-1")
+    return bytes(buf)
+
+
+def _serialize_objstm(objs: list[bytes], catalog_id: int, info_id: int | None) -> bytes:
+    """PDF 1.5 serialization: ObjStm-packed dict objects + xref stream."""
+    packed = [i for i, b in enumerate(objs, start=1) if b"stream\n" not in b]
+    top = [i for i, b in enumerate(objs, start=1) if b"stream\n" in b]
+    objstm_id = len(objs) + 1
+    xref_id = len(objs) + 2
+
+    # object stream: "oid off oid off ...\n" header, then the bodies,
+    # space-separated (offsets are relative to /First)
+    header_parts: list[str] = []
+    bodies: list[bytes] = []
+    off = 0
+    for oid in packed:
+        body = objs[oid - 1]
+        header_parts.append(f"{oid} {off}")
+        bodies.append(body)
+        off += len(body) + 1
+    header = (" ".join(header_parts) + "\n").encode("latin-1")
+    stm_raw = header + b" ".join(bodies)
+    stm_z = zlib.compress(stm_raw)
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(stm_z)} >>\nstream\n".encode("latin-1")
+        + stm_z
+        + b"\nendstream"
+    )
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for oid in top:
+        offsets[oid] = len(buf)
+        buf += f"{oid} 0 obj\n".encode("latin-1") + objs[oid - 1] + b"\nendobj\n"
+    offsets[objstm_id] = len(buf)
+    buf += f"{objstm_id} 0 obj\n".encode("latin-1") + objstm_body + b"\nendobj\n"
+
+    # xref stream rows: W = [1 4 2] (type, 4-byte offset/objstm-id,
+    # 2-byte gen/index), one row per object id 0..xref_id, PNG-Up
+    # predicted (/Predictor 12, the layout real writers emit)
+    xref_at = len(buf)
+    rows: list[bytes] = []
+    idx_in_stm = {oid: k for k, oid in enumerate(packed)}
+    for oid in range(xref_id + 1):
+        if oid == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
+        elif oid in idx_in_stm:
+            rows.append(
+                b"\x02"
+                + objstm_id.to_bytes(4, "big")
+                + idx_in_stm[oid].to_bytes(2, "big")
+            )
+        else:
+            at = offsets[oid] if oid != xref_id else xref_at
+            rows.append(b"\x01" + at.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    cols = 7
+    pred_rows = bytearray()
+    prev = bytes(cols)
+    for row in rows:
+        pred_rows += b"\x02" + bytes((a - b) & 0xFF for a, b in zip(row, prev))
+        prev = row
+    xref_z = zlib.compress(bytes(pred_rows))
+    info_ref = f" /Info {info_id} 0 R" if info_id else ""
+    xref_body = (
+        f"<< /Type /XRef /Size {xref_id + 1} /Root {catalog_id} 0 R{info_ref} "
+        f"/W [1 4 2] /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {cols} >> "
+        f"/Length {len(xref_z)} >>\nstream\n".encode("latin-1")
+        + xref_z
+        + b"\nendstream"
+    )
+    buf += f"{xref_id} 0 obj\n".encode("latin-1") + xref_body + b"\nendobj\n"
+    buf += f"startxref\n{xref_at}\n%%EOF\n".encode("latin-1")
     return bytes(buf)
 
 
@@ -291,6 +381,104 @@ def _stream_of(body: bytes) -> bytes:
     return body[i + len(b"stream\n"): j]
 
 
+def _unpack_object_streams(objs: dict[int, bytes], offs: dict[int, int]) -> None:
+    """PDF 1.5 ``/Type /ObjStm`` unpacking (spec §7.5.7), in place.
+
+    Modern writers pack every dict-only object into compressed object
+    streams; only content/image streams remain top-level (streams cannot
+    nest), so char byte-offset spans keep their raw-file anchors. Packed
+    objects get offset -1 — they are dicts and never anchor a span.
+    """
+    for body in list(objs.values()):
+        if b"/Type /ObjStm" not in body:
+            continue
+        nm = re.search(rb"/N (\d+)", body)
+        fm = re.search(rb"/First (\d+)", body)
+        if not nm or not fm:
+            raise PdfParseError("ObjStm without /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            raw = zlib.decompress(_stream_of(body))
+        except zlib.error as e:
+            raise PdfParseError(f"bad ObjStm stream: {e}") from e
+        head = raw[:first].split()
+        if len(head) < 2 * n:
+            raise PdfParseError("short ObjStm header")
+        pairs = [(int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)]
+        for k, (oid, rel) in enumerate(pairs):
+            start = first + rel
+            end = first + pairs[k + 1][1] if k + 1 < n else len(raw)
+            objs[oid] = raw[start:end].strip()
+            offs[oid] = -1
+
+
+def _decode_xref_stream(body: bytes) -> dict[int, tuple[int, int, int]]:
+    """Decode a ``/Type /XRef`` cross-reference stream (spec §7.5.8) into
+    {object id: (type, field2, field3)} — type 1 rows carry raw-file
+    offsets, type 2 rows (objstm_id, index) locate ObjStm-packed objects.
+
+    Handles the ``/W`` column widths and the PNG row predictors of
+    ``/DecodeParms /Predictor >= 10`` (filters None/Sub/Up — Up is what
+    real writers emit; each row is predicted against the previous row
+    exactly as in PNG scanline filtering).
+    """
+    wm = re.search(rb"/W \[([^\]]*)\]", body)
+    sm = re.search(rb"/Size (\d+)", body)
+    if not wm or not sm:
+        raise PdfParseError("xref stream without /W or /Size")
+    w = [int(x) for x in wm.group(1).split()]
+    cols = sum(w)
+    try:
+        raw = zlib.decompress(_stream_of(body))
+    except zlib.error as e:
+        raise PdfParseError(f"bad xref stream: {e}") from e
+    pm = re.search(rb"/Predictor (\d+)", body)
+    if pm and int(pm.group(1)) >= 10:
+        out = bytearray()
+        prev = bytes(cols)
+        if len(raw) % (cols + 1):
+            raise PdfParseError("ragged predicted xref rows")
+        for i in range(0, len(raw), cols + 1):
+            ft, enc = raw[i], raw[i + 1 : i + 1 + cols]
+            if ft == 0:
+                cur = bytes(enc)
+            elif ft == 1:  # Sub: left neighbor = previous byte in row
+                acc = bytearray()
+                for b in enc:
+                    acc.append((b + (acc[-1] if acc else 0)) & 0xFF)
+                cur = bytes(acc)
+            elif ft == 2:  # Up
+                cur = bytes((a + b) & 0xFF for a, b in zip(enc, prev))
+            else:
+                raise PdfParseError(f"xref predictor filter {ft}")
+            out += cur
+            prev = cur
+        raw = bytes(out)
+    if cols == 0 or len(raw) % cols:
+        raise PdfParseError("ragged xref rows")
+    # /Index defaults to [0 Size] — one subsection starting at object 0
+    starts_counts = [0, int(sm.group(1))]
+    im = re.search(rb"/Index \[([^\]]*)\]", body)
+    if im:
+        starts_counts = [int(x) for x in im.group(1).split()]
+    entries: dict[int, tuple[int, int, int]] = {}
+    row = 0
+    for s in range(0, len(starts_counts), 2):
+        start, count = starts_counts[s], starts_counts[s + 1]
+        for oid in range(start, start + count):
+            if row * cols >= len(raw):
+                raise PdfParseError("xref /Index exceeds stream rows")
+            rb_ = raw[row * cols : (row + 1) * cols]
+            fields = []
+            p = 0
+            for width in w:
+                fields.append(int.from_bytes(rb_[p : p + width], "big") if width else 1)
+                p += width
+            entries[oid] = tuple(fields)
+            row += 1
+    return entries
+
+
 def _read_literal(data: bytes, start: int) -> tuple[list[tuple[str, int]], int]:
     """Read a PDF literal string starting just after '('.
 
@@ -322,6 +510,24 @@ def parse_pdf(data: bytes) -> ParsedDoc:
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("not a pdf")
     objs, offs = _parse_objects(data)
+    _unpack_object_streams(objs, offs)
+    # a 1.5-style cross-reference STREAM, when present, must agree with the
+    # reconstructed object map — decode it (W columns + PNG predictors)
+    # and cross-check; a lying xref is a malformed file (feeds the
+    # extraction_failure_count taxonomy), not a silent fallback
+    for xid, body in objs.items():
+        if b"/Type /XRef" not in body or offs.get(xid, -1) < 0:
+            continue
+        for oid, (etype, f2, _f3) in _decode_xref_stream(body).items():
+            # xref rows record the "N 0 obj" header offset; the
+            # reconstruction map anchors the BODY start just past it
+            body_at = f2 + len(f"{oid} 0 obj\n")
+            if etype == 1 and oid in offs and offs[oid] >= 0 and body_at != offs[oid]:
+                raise PdfParseError(
+                    f"xref stream offset mismatch for object {oid}"
+                )
+            if etype == 2 and oid not in objs:
+                raise PdfParseError(f"xref names missing packed object {oid}")
 
     # find the pages tree through the catalog for well-formedness
     root = None

@@ -162,3 +162,122 @@ def test_extract_one_pdf_spans_cover_text_bytes():
     )
     assert b"alpha beta gamma" in joined
     assert covered  # non-empty span text
+
+
+# ------------------------------------------- PDF 1.5: ObjStm + xref stream ---
+
+
+def _two_page_doc():
+    from pdf_parser_spark.kernels.pdf_mini import (
+        ImageSpec, PageSpec, TextRun, deterministic_bytes)
+
+    return (
+        [
+            PageSpec(
+                text_runs=[TextRun(72, 700, 10, "hello objstm world."),
+                           TextRun(72, 680, 10, "second (escaped) line")],
+                images=[ImageSpec(100, 400, 300, 200, 60, 40,
+                                  deterministic_bytes("A", 500))],
+                n_lines=2, n_rects=1, n_curves=1,
+            ),
+            PageSpec(text_runs=[TextRun(72, 700, 12, "page two text")]),
+        ],
+        {"Title": "T1", "Author": "A1", "CreationDate": "D:20260101120000Z"},
+    )
+
+
+def test_objstm_layout_parses_identically():
+    """The PDF 1.5 layout (dict objects in an /ObjStm, binary xref stream
+    with /W columns + Predictor 12) must parse to the same document as the
+    classic 1.4 layout, and spans must still anchor into the raw bytes
+    (content streams stay top-level)."""
+    from pdf_parser_spark.kernels.pdf_mini import build_pdf, parse_pdf
+
+    pages, info = _two_page_doc()
+    d14 = build_pdf(pages, info=info)
+    d15 = build_pdf(pages, info=info, objstm=True)
+    assert d15.startswith(b"%PDF-1.5") and b"/Type /ObjStm" in d15
+    assert b"trailer" not in d15  # the trailer dict lives in the xref stream
+    p14, p15 = parse_pdf(d14), parse_pdf(d15)
+    assert p15.metadata == p14.metadata == info
+    assert len(p15.pages) == len(p14.pages)
+    for a, b in zip(p14.pages, p15.pages):
+        assert "".join(c.char for c in a.chars) == "".join(c.char for c in b.chars)
+        assert [i.data for i in a.images] == [i.data for i in b.images]
+        assert (a.n_lines, a.n_rects, a.n_curves) == (b.n_lines, b.n_rects, b.n_curves)
+    ch = p15.pages[0].chars[0]
+    assert d15[ch.byte_off : ch.byte_off + 1] == b"h"
+
+
+def test_xref_stream_decode_and_consistency():
+    """_decode_xref_stream recovers the typed rows (un-predicting the
+    PNG-Up filter); a tampered type-1 offset makes parse_pdf raise."""
+    import re
+    import zlib
+
+    from pdf_parser_spark.kernels.pdf_mini import (
+        PdfParseError, _decode_xref_stream, _parse_objects, build_pdf, parse_pdf)
+
+    pages, info = _two_page_doc()
+    d15 = build_pdf(pages, info=info, objstm=True)
+    objs, _ = _parse_objects(d15)
+    xref_body = next(b for b in objs.values() if b"/Type /XRef" in b)
+    entries = _decode_xref_stream(xref_body)
+    kinds = {t for t, _, _ in entries.values()}
+    assert kinds == {0, 1, 2}  # free head + top-level + packed
+    objstm_id = next(i for i, b in objs.items() if b"/Type /ObjStm" in b)
+    packed = [(oid, f3) for oid, (t, f2, f3) in entries.items()
+              if t == 2 and f2 == objstm_id]
+    assert packed and [f3 for _, f3 in sorted(packed, key=lambda p: p[1])] == list(
+        range(len(packed))
+    )
+
+    # tamper: bump one type-1 offset by one, re-predict, re-compress, splice
+    raw = zlib.decompress(
+        xref_body[xref_body.find(b"stream\n") + 7 : xref_body.rfind(b"\nendstream")]
+    )
+    cols = 7
+    rows = []
+    prev = bytes(cols)
+    for i in range(0, len(raw), cols + 1):
+        cur = bytes((a + b) & 0xFF for a, b in zip(raw[i + 1 : i + 1 + cols], prev))
+        rows.append(bytearray(cur))
+        prev = cur
+    victim = next(r for r in rows if r[0] == 1 and int.from_bytes(r[1:5], "big") > 0)
+    victim[4] = (victim[4] + 1) & 0xFF
+    out = bytearray()
+    prev = bytes(cols)
+    for r in rows:
+        out += b"\x02" + bytes((a - b) & 0xFF for a, b in zip(r, prev))
+        prev = bytes(r)
+    bad_stream = zlib.compress(bytes(out))
+    start = d15.find(xref_body)
+    i = start + xref_body.find(b"stream\n") + 7
+    j = start + xref_body.rfind(b"\nendstream")
+    tampered = d15[:i] + bad_stream + d15[j:]
+    with pytest.raises(PdfParseError, match="mismatch|xref"):
+        parse_pdf(tampered)
+
+
+def test_objstm_payload_through_extraction_kernel():
+    """A 1.5-layout payload rides the full extraction kernel to the same
+    text as its 1.4 twin (classification, layout, spans all downstream of
+    the parse)."""
+    from pdf_parser_spark.kernels.pdf_mini import build_pdf
+
+    from pdf_parser_spark.kernels.pdf_mini import PageSpec, TextRun
+
+    # text-heavy doc -> classification takes the text branch
+    lines = [TextRun(72, 700 - 14 * i, 10, f"line {i} of enough prose to classify as text.")
+             for i in range(12)]
+    out = {}
+    for tag, objstm in (("14", False), ("15", True)):
+        payload = base64.b64encode(
+            build_pdf([PageSpec(text_runs=lines)], objstm=objstm)
+        ).decode()
+        kind, text, spans, n_blocks, ok = extract_one(payload, DEFAULT_CONFIG)
+        out[tag] = (kind, text, n_blocks, ok)
+    assert out["15"][3] and out["14"][3]
+    assert out["15"][1] == out["14"][1] and "enough prose" in out["15"][1]
+    assert out["15"][0] == out["14"][0] == "pdf_text"
+    assert out["15"][2] == out["14"][2]
