@@ -134,9 +134,21 @@ def _info_of(doc_id: int, kind: str) -> dict[str, str] | None:
     }
 
 
+def _objstm_of(doc_id: int) -> bool:
+    """A deterministic third of PDF payloads use the PDF 1.5 layout
+    (ObjStm + xref stream) — the mix a wild corpus actually has — so the
+    driver's golden/oracle gates exercise that parse path continuously,
+    not just the pytest vectors."""
+    return _h(doc_id, "layout") % 3 == 0
+
+
 def _make_pdf_text(doc_id: int, words: list[str]) -> str:
     return base64.b64encode(
-        build_pdf(_text_pages(doc_id, words), info=_info_of(doc_id, "text"))
+        build_pdf(
+            _text_pages(doc_id, words),
+            info=_info_of(doc_id, "text"),
+            objstm=_objstm_of(doc_id),
+        )
     ).decode()
 
 
@@ -191,7 +203,7 @@ def _make_pdf_digital(doc_id: int, words: list[str]) -> str:
         )
     pages[0].images = images
     return base64.b64encode(
-        build_pdf(pages, info=_info_of(doc_id, "digital"))
+        build_pdf(pages, info=_info_of(doc_id, "digital"), objstm=_objstm_of(doc_id))
     ).decode()
 
 
@@ -203,7 +215,7 @@ def _make_pdf_vector(doc_id: int) -> str:
         n_curves=200,
     )
     return base64.b64encode(
-        build_pdf([page], info=_info_of(doc_id, "vector"))
+        build_pdf([page], info=_info_of(doc_id, "vector"), objstm=_objstm_of(doc_id))
     ).decode()
 
 
@@ -219,7 +231,7 @@ def _make_pdf_scanned(doc_id: int) -> str:
         ],
     )
     return base64.b64encode(
-        build_pdf([page], info=_info_of(doc_id, "scan"))
+        build_pdf([page], info=_info_of(doc_id, "scan"), objstm=_objstm_of(doc_id))
     ).decode()
 
 
