@@ -211,7 +211,7 @@ def reassemble(extracted: DataFrame, num_partitions: int | None = None) -> DataF
 
 
 def extract_with_fallback(
-    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+    df: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG, salt: bool = False
 ) -> DataFrame:
     """Two-pass fallback replan as a DataFrame program (SURVEY.md §4.1: the
     reference retries failed extractions with the other method,
@@ -244,7 +244,9 @@ def extract_with_fallback(
     """
     from pyspark import StorageLevel
 
-    first = extract_turns(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    # ``salt`` applies to the KERNEL branch only — the rescue join's source
+    # re-scan must stay shuffle-free (broadcast join against a streamed scan)
+    first = extract_turns(df, cfg, salt=salt).persist(StorageLevel.MEMORY_AND_DISK)
     ok_rows = first.filter(F.col("payload_kind") != "error")
     err = first.filter(F.col("payload_kind") == "error")
     src = df.select("conv_id", "turn_idx", F.col("text").alias("_payload"))
