@@ -1886,7 +1886,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_reduce(list_prepend(0,
                         list_transform(regexp_extract_all(text, '[A-Za-z]+'),
                                        w -> (length(w) + 3) // 4)),
-                        (acc, v) -> acc + v) AS INTEGER) AS n_subwords
+                        (acc, v) -> acc + v) AS INTEGER) AS n_subwords,
+                   -- PII scan arm (text_stats._PII_PATTERNS, same order;
+                   -- DuckDB regexp_replace needs the 'g' flag to match
+                   -- Spark's replace-all semantics)
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INTEGER) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<email>', 'g'),
+                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<phone>', 'g'),
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'))
+                     AS redacted_md5
             FROM documents
         """,
         "gopher_quality": _gopher_sql("documents"),

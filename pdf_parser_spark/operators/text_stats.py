@@ -209,7 +209,45 @@ def token_profile(
         )
         .cast("int")
         .alias("n_subwords"),
+        *[
+            expr.alias(name)
+            for name, expr in pii_signal_cols(t).items()
+        ],
     )
+
+
+# PII scrub patterns — portable Java-regex/RE2 subset (no backrefs, no
+# lookaround): the regex families production ingestion scrubbers run on
+# every document before anything else sees it. Scanning, not NER.
+# Replacement order is the dict order on BOTH engines (email first: an
+# address can embed digits the phone/ip patterns would otherwise eat).
+_PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4": "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+}
+
+
+def redact_pii(t: Column) -> Column:
+    """Replace each PII hit with its typed token (``<email>`` etc.) —
+    chained JVM regexp_replace, scan-speed, deterministic order."""
+    red = t
+    for name, pat in _PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    return red
+
+
+def pii_signal_cols(t: Column) -> dict[str, Column]:
+    """Per-doc PII hit counts plus the md5 of the redacted text — lets a
+    pipeline quantify leakage per source and dedup/diff scrubbed pages
+    without materializing them. All JVM regex; no shuffle."""
+    out: dict[str, Column] = {}
+    for name, pat in _PII_PATTERNS.items():
+        out[f"n_{name}"] = F.size(
+            F.regexp_extract_all(t, F.lit(pat), 0)
+        ).cast("int")
+    out["redacted_md5"] = F.md5(redact_pii(t))
+    return out
 
 
 # Gopher's stopword gate uses this canonical 8-word list (Rae et al. 2021,

@@ -612,3 +612,65 @@ def test_gopher_signals_match_duckdb(spark):
     for row in duck:
         d = dict(zip(duck_cols, row))
         assert spark_rows[d["doc_id"]] == tuple(d[c] for c in cols), d
+
+
+_PII_ROWS = [
+    (1, "mail me at jane.doe+x@example.co.uk or bob@site.org today"),
+    (2, "call 555-123-4567 or 555.987.6543, server at 192.168.1.10"),
+    (3, "mixed: a@b.io then 10.0.0.1 then 800-555-0100 done"),
+    (4, "clean text with no identifiers at all"),
+]
+
+
+def test_pii_signals_values_and_redaction(spark):
+    """Hand-computed PII counts + exact redaction md5 on crafted docs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators.text_stats import pii_signal_cols, redact_pii
+
+    df = spark.createDataFrame(_PII_ROWS, "doc_id long, text string")
+    cols = pii_signal_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[e.alias(n) for n, e in cols.items()],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (2, 0, 0)
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (0, 2, 1)
+    assert (rows[3]["n_email"], rows[3]["n_phone"], rows[3]["n_ipv4"]) == (1, 1, 1)
+    assert (rows[4]["n_email"], rows[4]["n_phone"], rows[4]["n_ipv4"]) == (0, 0, 0)
+    assert rows[1]["red"] == "mail me at <email> or <email> today"
+    assert rows[2]["red"] == "call <phone> or <phone>, server at <ipv4>"
+    assert rows[3]["red"] == "mixed: <email> then <ipv4> then <phone> done"
+    for r in rows.values():
+        assert r["redacted_md5"] == hashlib.md5(r["red"].encode()).hexdigest()
+
+
+def test_pii_signals_match_duckdb(spark):
+    """Spark vs DuckDB parity for the PII arm of the token_stats oracle on
+    the crafted fixture (the parquet documents carry no PII, so the driver
+    row is parity-only there)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pdf_parser_spark.operators.text_stats import token_profile
+
+    df = spark.createDataFrame(_PII_ROWS, "doc_id long, text string")
+    cols = token_profile(df).columns
+    spark_rows = {
+        r["doc_id"]: tuple(r[c] for c in cols) for r in token_profile(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _PII_ROWS)
+    res = con.sql(entry.oracle_sql()["token_stats"])
+    duck_cols = [d[0] for d in res.description]
+    assert duck_cols == cols
+    for row in res.fetchall():
+        d = dict(zip(duck_cols, row))
+        assert spark_rows[d["doc_id"]] == tuple(d[c] for c in duck_cols), d
