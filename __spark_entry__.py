@@ -568,7 +568,8 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token stats + BPE-ish regex counts (letter/digit/symbol
-    runs, ~4-char subword estimate) in one projection — the former
+    runs, ~4-char subword estimate) + the PII scan arm (email/phone/IPv4
+    hit counts, redacted-text md5) in one projection — the former
     token_stats and subword_token_stats entries merged (registry curation
     to the driver's 50-row cap; one scan instead of two)."""
     return text_stats.token_profile(_t(spark, sf_dir, "documents"))
