@@ -102,11 +102,11 @@ def q_fallback_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fallback replan (§4.1): second extraction pass over failed rows as a
     filter → rescue-kernel → unionByName plan; vs the single-pass golden
     run with cfg.fallback_plain=True."""
-    from pdf_parser_spark.pipeline import plan_scan
+    from pdf_parser_spark.pipeline import job_session, scan_plan
 
     p = G.ensure_transcripts(sf_dir)
-    salt = plan_scan(spark, p, spark.sparkContext.defaultParallelism)
-    df = spark.read.parquet(p)
+    split, salt = scan_plan(p, spark.sparkContext.defaultParallelism)
+    df = job_session(spark, split).read.parquet(p)
     out = reassemble(extract_with_fallback(df, salt=salt), num_partitions=16)
     return out.select(
         "conv_id", "turn_idx", "role", "tool", "payload_kind", "extracted_text",
@@ -133,21 +133,19 @@ def q_d4_nms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcripts corpus with the job's scan policy (pipeline.plan_scan):
-    adaptive split sizing, plus a balancing repartition when even
-    floor-sized splits cannot fill one wave of cores — the small-corpus
-    case every kernel-bearing entry query hits at sf0.1 (13 MB over 32
-    cores is otherwise a 4-task kernel stage)."""
-    from pdf_parser_spark.pipeline import plan_scan
+    """Transcripts corpus with the job's scan policy (pipeline.scan_plan):
+    adaptive split sizing, applied through a per-job session so the
+    caller's conf is untouched. Split sizing ONLY — no repartition here: a
+    pre-kernel repartition would embed an Exchange into EVERY branch
+    derived from this df (e.g. the fallback rescue join's source re-scan
+    would pay a payload shuffle it never needs); operators that want the
+    balancing shuffle ask for it on their kernel branch alone
+    (extract_turns/extract_with_fallback salt)."""
+    from pdf_parser_spark.pipeline import job_session, scan_plan
 
     p = G.ensure_transcripts(sf_dir)
-    # split sizing only: a pre-kernel repartition here would embed an
-    # Exchange into EVERY branch derived from this df (e.g. the fallback
-    # rescue join's source re-scan would pay a payload shuffle it never
-    # needs) — operators that want the balancing shuffle ask for it on
-    # their kernel branch alone (extract_turns/extract_with_fallback salt)
-    plan_scan(spark, p, spark.sparkContext.defaultParallelism)
-    return spark.read.parquet(p)
+    split, _salt = scan_plan(p, spark.sparkContext.defaultParallelism)
+    return job_session(spark, split).read.parquet(p)
 
 
 def q_image_records_full(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,13 +80,17 @@ def run_job(
     Safe to re-run after a crash: committed buckets are skipped via the
     lineage anti-join; partially-written buckets (data files without a
     lineage row) are atomically rewritten by dynamic partition overwrite.
-    """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    from .pipeline import plan_scan
+    Runs under a per-job session (``pipeline.job_session``): the scan
+    sizing and the dynamic-overwrite mode live in the job's own SQLConf,
+    so the caller's session is never mutated.
+    """
+    from .pipeline import job_session, scan_plan
 
     cpus = num_partitions or spark.sparkContext.defaultParallelism
-    salt = plan_scan(spark, input_path, cpus)
+    split, salt = scan_plan(input_path, cpus)
+    spark = job_session(spark, split)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     turns = spark.read.schema(TRANSCRIPT_SPARK_SCHEMA).parquet(input_path)
     turns = with_bucket(turns, n_buckets)
 

@@ -246,7 +246,7 @@ def test_minhash_verify_uses_doc_level_arrays(spark):
 
 
 def test_adaptive_split_bytes_policy():
-    """Pure-math pins for plan_scan's two decisions (no session needed)."""
+    """Pure-math pins for scan_plan's two decisions (no session needed)."""
     from pdf_parser_spark.pipeline import adaptive_split_bytes
 
     MB = 1024 * 1024
@@ -261,13 +261,73 @@ def test_adaptive_split_bytes_policy():
     assert adaptive_split_bytes(211 * MB, 0) == 16 * MB
 
 
-def test_plan_scan_salts_only_underfilled_inputs(spark, tmp_path, transcripts_parquet):
+def test_scan_plan_salts_only_underfilled_inputs(transcripts_parquet):
     """The auto-salt fires exactly when floor splits < cores: the sf0.001
     fixture (~1 MB) cannot fill 32 cores (salt), but trivially fills 1
-    core-equivalent (no salt at cpus=1)."""
-    from pdf_parser_spark.pipeline import plan_scan
+    core-equivalent (no salt at cpus=1). Pure decision — no session."""
+    from pdf_parser_spark.pipeline import scan_plan
 
-    assert plan_scan(spark, transcripts_parquet, 32) is True
-    assert plan_scan(spark, transcripts_parquet, 1) is False
-    # conf was set to a real byte count either way
-    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) >= 4 * 1024 * 1024
+    split32, salt32 = scan_plan(transcripts_parquet, 32)
+    split1, salt1 = scan_plan(transcripts_parquet, 1)
+    assert salt32 is True
+    assert salt1 is False
+    # split is a real byte count either way
+    assert split32 >= 4 * 1024 * 1024
+    assert split1 >= 4 * 1024 * 1024
+
+
+def test_scan_plan_object_store_paths_never_salt():
+    """The r04 scale hazard: an unstat-able input (object store, missing
+    path) must be treated as PRODUCTION-LARGE — session-default 16 MB
+    splits, salt False — never as size-0 (which would re-enable the
+    full-payload pre-kernel shuffle at exactly 100 TB scale)."""
+    from pdf_parser_spark.pipeline import _SPLIT_MAX, scan_plan
+
+    for path in (
+        "s3://corpus-bucket/transcripts/",
+        "s3a://corpus-bucket/transcripts",
+        "hdfs://namenode:8020/warehouse/transcripts",
+        "abfss://fs@acct.dfs.core.windows.net/transcripts",
+        "/no/such/local/path",
+    ):
+        split, salt = scan_plan(path, 32000)
+        assert salt is False, path
+        assert split == _SPLIT_MAX, path
+    # file:// URIs that ARE stat-able still size adaptively
+    import os
+    split, salt = scan_plan("file://" + os.path.join(SF, "documents.parquet"), 1)
+    assert salt is False and split >= 4 * 1024 * 1024
+
+
+def test_run_extraction_leaves_caller_conf_untouched(spark, transcripts_parquet):
+    """Per-job conf isolation (r04 ADVICE #2): run_extraction plans against
+    its own job_session, so the caller's maxPartitionBytes is unchanged
+    even AFTER materialization — and the job's own session carries the
+    adaptive split."""
+    from pdf_parser_spark.pipeline import run_extraction
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    out = run_extraction(spark, transcripts_parquet, num_partitions=4)
+    job_conf = out.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+    assert out.count() > 0  # materialize under the job session
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
+    assert int(job_conf) >= 4 * 1024 * 1024
+    spark.catalog.clearCache()
+
+
+def test_job_session_isolated_and_inherits_runtime_conf(spark):
+    """job_session must (a) carry the caller's RUNTIME spark.sql tuning —
+    newSession alone only inherits builder-time conf — and (b) keep its
+    split-size conf invisible to the caller."""
+    from pdf_parser_spark.pipeline import job_session
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        s2 = job_session(spark, split_bytes=12345678)
+        assert s2.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert s2.conf.get("spark.sql.files.maxPartitionBytes") == "12345678"
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") != "12345678"
+        assert s2.sparkContext is spark.sparkContext
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
