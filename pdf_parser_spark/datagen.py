@@ -16,6 +16,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -50,6 +51,19 @@ _BASE_TS = np.datetime64("2024-01-01T00:00:00", "us")
 _NAV_WORDS = "home about products pricing blog careers contact login signup docs".split()
 _FOOTER_WORDS = "privacy terms sitemap support rss twitter github status press legal".split()
 
+# Character-reference phrases wild pages actually contain (K8 realism —
+# r04 verdict gap #1): decimal + hex numeric refs, windows-1252 C1 numerics
+# (&#146; etc.), and the common named entities. Every html payload embeds
+# one, so the goldens/oracles exercise the kernel's decoder continuously.
+_ENTITY_PHRASES = [
+    "it&#8217;s what&#x27;s new &mdash; &ldquo;quoted&rdquo; material today",
+    "caf&eacute; men&uacute; &amp; r&eacute;sum&eacute; notes &#150; updated",
+    "&copy; 2024 example corp&trade; &middot; temperature 50&deg; &plusmn; 2",
+    "trailing thought&hellip; plus&nbsp;bound words &laquo;quoted marks&raquo;",
+    "where x &ne; y &le; z &rarr; proceed &bull; checklist item &#8220;done&#8221;",
+    "don&#146;t worry &#151; klarer caf&#233; text f&uuml;r alle &sect; readers",
+]
+
 
 def _h(*parts) -> int:
     return int.from_bytes(
@@ -78,12 +92,13 @@ def _make_html(doc_id: int, words: list[str]) -> str:
         f'<a href="/f/{w}">{w}</a>' for w in _FOOTER_WORDS[: 5 + _h(doc_id, "ft") % 5]
     )
     aside = "<p>" + " ".join(words[: min(12, n)][::-1]) + "</p>"
+    entity_para = "<p>" + _ENTITY_PHRASES[_h(doc_id, "ent") % len(_ENTITY_PHRASES)] + "</p>"
     return (
         "<html><head><title>synthetic page</title>"
         "<style>body{font:14px sans}</style>"
         "<script>var x=1;</script></head>"
         f"<body><header><nav>{nav}</nav></header>"
-        f"<article><h1>{title}</h1>{''.join(paras)}</article>"
+        f"<article><h1>{title}</h1>{''.join(paras)}{entity_para}</article>"
         f"<aside>{aside}</aside>"
         f"<footer>{footer}</footer></body></html>"
     )
@@ -236,13 +251,39 @@ def _make_pdf_scanned(doc_id: int) -> str:
 
 
 def _make_malformed(doc_id: int) -> str:
-    v = _h(doc_id, "bad") % 3
+    """Hostile-PDF corpus arm: six deterministic corruption shapes so the
+    PdfParseError taxonomy (kernels/pdf_mini.py) is exercised end-to-end
+    through extract_kind_stats.n_fail / lineage failure counts at query
+    level, not just in unit tests (r04 verdict task #6). Variants 3-5
+    tamper REAL well-formed 1.5 builds the way wild corruption does:
+    shifted offsets (lying xref), clobbered compressed bytes, and a
+    nonsense ObjStm /First pointer."""
+    v = _h(doc_id, "bad") % 6
     if v == 0:
         return ""  # empty payload
     if v == 1:
         return "JVBERi0xLj!!corrupt!!"  # pdf prefix, invalid base64
-    # valid base64, %PDF- magic, truncated body -> PdfParseError
-    return base64.b64encode(b"%PDF-1.4\n1 0 obj\n<< trunca").decode()
+    if v == 2:
+        # valid base64, %PDF- magic, truncated body -> "no objects"
+        return base64.b64encode(b"%PDF-1.4\n1 0 obj\n<< trunca").decode()
+    words = [f"hostile{doc_id % 13}", "fixture", "page", "content", "words"] * 8
+    raw = build_pdf(_text_pages(doc_id, words), objstm=True)
+    if v == 3:
+        # lying xref: a comment line after the header shifts every raw
+        # offset by 6 bytes -> "xref stream offset mismatch"
+        bad = raw[:9] + b"%shft\n" + raw[9:]
+    elif v == 4:
+        # clobber the tail of the ObjStm's zlib payload (same length, so
+        # offsets stay honest) -> "bad ObjStm stream: ... data check"
+        i = raw.find(b"/Type /ObjStm")
+        j = raw.find(b"\nendstream", i)
+        bad = raw[: j - 8] + b"\x00" * 8 + raw[j:]
+    else:
+        # nonsense /First pointer (same digit width keeps offsets honest)
+        # -> "short ObjStm header"
+        m = re.search(rb"/First (\d+)", raw)
+        bad = raw[: m.start(1)] + b"0" * len(m.group(1)) + raw[m.end(1):]
+    return base64.b64encode(bad).decode()
 
 
 def _payload(doc_id: int, text: str) -> str:

@@ -357,20 +357,28 @@ class PdfParseError(ValueError):
     pass
 
 
-def _parse_objects(data: bytes) -> tuple[dict[int, bytes], dict[int, int]]:
+def _parse_objects(
+    data: bytes,
+) -> tuple[dict[int, bytes], dict[int, int], dict[int, int]]:
     """ONE regex pass over the raw bytes -> (id -> body, id -> absolute
-    offset of the body start). The body offsets anchor char byte_offs (the
-    span source); folding both maps into a single finditer saves a full
+    offset of the body start, id -> absolute offset of the object HEADER).
+    The body offsets anchor char byte_offs (the span source); the header
+    offsets are what xref rows record, kept from the actual match span so
+    the xref cross-check never re-derives them from an assumed header
+    layout ('N 0 obj\\n' exactly — a spec-valid writer may use \\r\\n or
+    extra spaces). Folding all maps into a single finditer saves a full
     scan of every payload."""
     objs: dict[int, bytes] = {}
     spans: dict[int, int] = {}
+    heads: dict[int, int] = {}
     for m in _OBJ_RE.finditer(data):
         oid = int(m.group(1))
         objs[oid] = m.group(2)
         spans[oid] = m.start(2)
+        heads[oid] = m.start()
     if not objs:
         raise PdfParseError("no objects")
-    return objs, spans
+    return objs, spans, heads
 
 
 def _stream_of(body: bytes) -> bytes:
@@ -506,10 +514,24 @@ def parse_pdf(data: bytes) -> ParsedDoc:
 
     Raises PdfParseError on anything outside the subset (malformed rows feed
     ``extraction_failure_count`` lineage accounting, BASELINE.json:14).
+    EVERY failure surfaces as PdfParseError: a wild corpus contains files
+    that break any fixed assumption (tampered offsets make an int() or
+    dict-index raise bare ValueError/KeyError), and an untyped exception
+    inside mapInPandas would fail the Spark TASK — killing the other
+    thousands of rows in the batch — instead of counting one error row.
     """
+    try:
+        return _parse_pdf_inner(data)
+    except PdfParseError:
+        raise
+    except Exception as e:  # typed wrapper, never a task-killing escape
+        raise PdfParseError(f"malformed pdf ({type(e).__name__}: {e})") from e
+
+
+def _parse_pdf_inner(data: bytes) -> ParsedDoc:
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("not a pdf")
-    objs, offs = _parse_objects(data)
+    objs, offs, heads = _parse_objects(data)
     _unpack_object_streams(objs, offs)
     # a 1.5-style cross-reference STREAM, when present, must agree with the
     # reconstructed object map — decode it (W columns + PNG predictors)
@@ -519,10 +541,15 @@ def parse_pdf(data: bytes) -> ParsedDoc:
         if b"/Type /XRef" not in body or offs.get(xid, -1) < 0:
             continue
         for oid, (etype, f2, _f3) in _decode_xref_stream(body).items():
-            # xref rows record the "N 0 obj" header offset; the
-            # reconstruction map anchors the BODY start just past it
-            body_at = f2 + len(f"{oid} 0 obj\n")
-            if etype == 1 and oid in offs and offs[oid] >= 0 and body_at != offs[oid]:
+            # xref type-1 rows record the object HEADER offset; compare
+            # against the offset of the header the parser actually matched
+            # (not a re-derived 'N 0 obj\n' layout assumption)
+            if (
+                etype == 1
+                and oid in heads
+                and offs.get(oid, -1) >= 0
+                and f2 != heads[oid]
+            ):
                 raise PdfParseError(
                     f"xref stream offset mismatch for object {oid}"
                 )

@@ -79,3 +79,42 @@ def test_entities_decoded():
 def test_empty_and_textless():
     assert extract_html("<html><body></body></html>")[0] == ""
     assert extract_html("<div></div>")[2] == 0
+
+
+def test_numeric_and_named_entities_decoded():
+    """r04 verdict gap #1: numeric (&#NNNN;/&#xHH;), windows-1252 C1
+    numerics, and the common named entities must decode; unknown names and
+    out-of-range codepoints stay literal (single-pass, browser-style)."""
+    from pdf_parser_spark.kernels.html_extract import _decode_entities
+
+    cases = {
+        "it&#8217;s": "it’s",
+        "what&#x27;s": "what's",
+        "don&#146;t": "don’t",           # C1 -> windows-1252 remap
+        "a &mdash; b": "a — b",
+        "&ldquo;q&rdquo;": "“q”",
+        "caf&eacute;": "café",
+        "&copy;&trade;&deg;": "©™°",
+        "&amp;lt;": "&lt;",              # single decode, never double
+        "&unknownname;": "&unknownname;",
+        "&amp": "&amp",                  # semicolon required
+        "&#0;": "&#0;",                  # out of range stays literal
+        "&#xD800;": "&#xD800;",          # surrogate stays literal
+    }
+    for raw, want in cases.items():
+        assert _decode_entities(raw) == want, raw
+
+
+def test_entities_decode_inside_blocks_spans_stay_raw():
+    html = (
+        "<html><body><p>it&#8217;s a caf&eacute; &mdash; genuinely "
+        "&ldquo;nice&rdquo; spot overall</p></body></html>"
+    )
+    text, spans, n = extract_html(html)
+    assert n == 1
+    assert "it’s a café — genuinely “nice” spot overall" == text
+    # spans index the RAW html (entities un-decoded there)
+    for s, e in spans:
+        assert 0 <= s < e <= len(html)
+    s, e = spans[0]
+    assert "&#8217;" in html[s:e]

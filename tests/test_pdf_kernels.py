@@ -220,7 +220,7 @@ def test_xref_stream_decode_and_consistency():
 
     pages, info = _two_page_doc()
     d15 = build_pdf(pages, info=info, objstm=True)
-    objs, _ = _parse_objects(d15)
+    objs, _offs, _heads = _parse_objects(d15)
     xref_body = next(b for b in objs.values() if b"/Type /XRef" in b)
     entries = _decode_xref_stream(xref_body)
     kinds = {t for t, _, _ in entries.values()}
@@ -281,3 +281,70 @@ def test_objstm_payload_through_extraction_kernel():
     assert out["15"][1] == out["14"][1] and "enough prose" in out["15"][1]
     assert out["15"][0] == out["14"][0] == "pdf_text"
     assert out["15"][2] == out["14"][2]
+
+
+def test_hostile_fixture_taxonomy_buckets():
+    """datagen's malformed arm must exercise DISTINCT PdfParseError taxonomy
+    buckets end-to-end (r04 verdict task #6): lying xref offsets, corrupted
+    ObjStm bytes, nonsense ObjStm header — each a typed failure, each an
+    error row through extract_one (never a task-killing bare exception)."""
+    import base64
+
+    from pdf_parser_spark.datagen import _h, _make_malformed
+    from pdf_parser_spark.kernels.extract import extract_one
+    from pdf_parser_spark.kernels.pdf_mini import PdfParseError, parse_pdf
+
+    by_variant = {}
+    for d in range(600):
+        v = _h(d, "bad") % 6
+        by_variant.setdefault(v, d)
+    assert sorted(by_variant) == [0, 1, 2, 3, 4, 5]
+
+    want = {
+        2: "no objects",
+        3: "xref stream offset mismatch",
+        4: "bad ObjStm stream",
+        5: "short ObjStm header",
+    }
+    for v, d in sorted(by_variant.items()):
+        payload = _make_malformed(d)
+        kind, text, spans, n_blocks, ok = extract_one(payload)
+        assert kind == "error" and ok is False, v
+        if v in want:
+            with pytest.raises(PdfParseError, match=want[v]):
+                parse_pdf(base64.b64decode(payload))
+
+
+def test_parse_pdf_never_raises_untyped():
+    """Any byte garbage after the %PDF- magic must surface as PdfParseError,
+    not ValueError/KeyError/zlib.error — an untyped escape inside
+    mapInPandas would kill the whole Arrow batch's task."""
+    import zlib as _zlib
+
+    from pdf_parser_spark.kernels.pdf_mini import (
+        PdfParseError,
+        build_pdf,
+        parse_pdf,
+    )
+    from pdf_parser_spark.kernels.pdf_mini import PageSpec, TextRun
+
+    base = build_pdf(
+        [PageSpec(text_runs=[TextRun(x=72, y=700, size=10, text="hello world")])],
+        objstm=True,
+    )
+    # aggressive deterministic tampers: byte deletions, splices, bit flips
+    tampers = [
+        base[:50] + base[60:],
+        base[:9] + b"0 0 obj\n<<" + base[9:],
+        base.replace(b"/First", b"/Fbrst"),
+        base.replace(b"/N ", b"/N 9", 1),
+        bytes(b ^ 0x5A if 200 < i < 260 else b for i, b in enumerate(base)),
+        base[: len(base) // 2],
+    ]
+    for i, bad in enumerate(tampers):
+        try:
+            parse_pdf(bad)  # surviving a tamper losslessly is acceptable
+        except PdfParseError:
+            pass  # typed: what the kernel's error accounting needs
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"tamper {i} escaped untyped: {type(e).__name__}: {e}")
