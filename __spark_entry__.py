@@ -519,31 +519,52 @@ def q_fingerprint48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the Hamming<=3 simhash near-dup graph
-    (iterative min-label propagation as a driver loop over DataFrame ops;
-    oracle: DuckDB recursive CTE computing the same reachability-min).
-    A dedup pipeline keeps one doc per COMPONENT — pairs alone under-dedup
-    transitive duplicate chains."""
+    """Connected components of the Hamming<=3 simhash near-dup graph by
+    BOTH algorithms in one driver-checked entry (registry curation — the
+    r05 slot freed here holds decontamination_hits): min-label propagation
+    (`component`) and large-star/small-star contraction (`component_star`,
+    Kiveris et al. — the web-scale path: O(log n) rounds regardless of
+    graph diameter). The oracle emits the recursive-CTE reachability-min
+    labelling for both columns, so the driver's hash check asserts the two
+    algorithms agree with the oracle AND each other. A dedup pipeline
+    keeps one doc per COMPONENT — pairs alone under-dedup transitive
+    duplicate chains."""
     docs = _doubled_docs(spark, sf_dir, exact=False)
     nodes = docs.select(F.col("doc_id").alias("id"))
     edges = dedup.simhash_hamming_pairs(docs, max_hamming=3, max_bucket=50).select(
         "id_a", "id_b"
     )
-    return dedup.connected_components(nodes, edges)
-
-
-def q_neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same near-dup components via large-star/small-star contraction
-    (Kiveris et al.) — the web-scale path: O(log n) rounds regardless of
-    graph diameter, no per-round full-edge x label join. Same recursive-CTE
-    oracle as the label-propagation variant: both must produce the
-    identical (id, component) labelling."""
-    docs = _doubled_docs(spark, sf_dir, exact=False)
-    nodes = docs.select(F.col("doc_id").alias("id"))
-    edges = dedup.simhash_hamming_pairs(docs, max_hamming=3, max_bucket=50).select(
-        "id_a", "id_b"
+    lp = dedup.connected_components(nodes, edges)
+    star = dedup.connected_components_star(nodes, edges).withColumnRenamed(
+        "component", "component_star"
     )
-    return dedup.connected_components_star(nodes, edges)
+    return lp.join(star, "id").orderBy("id")
+
+
+def _eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crafted eval-set fixture with KNOWN planted contamination: every
+    31st corpus doc leaks a 30-word window (words 11-40) into the eval set
+    (ids +5000000 — each MUST be flagged against its source doc), and
+    every 29th doc contributes its word-REVERSED text (ids +6000000 — no
+    forward 13-gram survives reversal, so these must never match)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    planted = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 11, 30), " ").alias("text"),
+    )
+    clean = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 6000000).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    return planted.unionByName(clean)
+
+
+def q_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (corpus 13-grams vs a broadcast eval set)
+    over the planted-contamination fixture."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.decontamination_hits(docs, _eval_docs(spark, sf_dir), k=13)
 
 
 def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,9 +896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_digests": q_simhash_digests,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        # label-prop and star-contraction components merged into ONE entry
+        # (both labellings, joined on id — the hash check pins their
+        # agreement); the freed slot holds decontamination_hits
         "neardup_components": q_neardup_components,
-        "neardup_components_star": q_neardup_components_star,
         "neardup_survivors": q_neardup_survivors,
+        "decontamination_hits": q_decontamination_hits,
         "fingerprint48": q_fingerprint48,
         # subword_token_stats merged into token_stats (one projection);
         # the freed slot holds gopher_quality
@@ -1150,8 +1174,52 @@ reach AS (
   UNION
   SELECT s.y AS id, reach.r AS r FROM reach JOIN sym s ON s.x = reach.id
 )
-SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component,
+       CAST(min(r) AS BIGINT) AS component_star
 FROM reach GROUP BY id ORDER BY id
+"""
+
+
+def _decontamination_sql(k: int = 13) -> str:
+    """Mirror of dedup.decontamination_hits over the planted fixture
+    (_eval_docs): DuckDB 1-based inclusive list slicing w[i:i+k-1] is the
+    k-word shingle; planted eval docs are words 11-40 of every 31st corpus
+    doc, clean ones the word-reversed text of every 29th."""
+    km1 = k - 1
+    return f"""
+WITH ev_src AS (
+  SELECT doc_id + 5000000 AS eval_id,
+         array_to_string((string_split(text, ' '))[11:40], ' ') AS text
+  FROM documents WHERE doc_id % 31 = 0
+  UNION ALL
+  SELECT doc_id + 6000000 AS eval_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+  FROM documents WHERE doc_id % 29 = 0
+),
+ev_toks AS (SELECT eval_id, string_split(text, ' ') AS w FROM ev_src),
+ev_sh AS (
+  SELECT DISTINCT eval_id, array_to_string(w[i:i+{km1}], ' ') AS shingle
+  FROM ev_toks, UNNEST(range(1, greatest(len(w) - {km1}, 0) + 1)) AS u(i)
+  WHERE length(array_to_string(w[i:i+{km1}], ' ')) > 0
+),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{km1}], ' ') AS shingle
+  FROM ctoks, UNNEST(range(1, greatest(len(w) - {km1}, 0) + 1)) AS u(i)
+  WHERE length(array_to_string(w[i:i+{km1}], ' ')) > 0
+),
+j AS (
+  SELECT c.doc_id AS corpus_id, e.eval_id,
+         count(DISTINCT c.shingle) AS n_matched
+  FROM csh c JOIN ev_sh e USING (shingle)
+  GROUP BY 1, 2
+),
+evn AS (SELECT eval_id, count(*) AS n_eval FROM ev_sh GROUP BY eval_id)
+SELECT corpus_id, j.eval_id, CAST(n_matched AS BIGINT) AS n_matched,
+       round(n_matched / CAST(n_eval AS DOUBLE), 6) AS eval_frac
+FROM j JOIN evn ON j.eval_id = evn.eval_id
+WHERE n_matched >= 1
+ORDER BY corpus_id, j.eval_id
 """
 
 
@@ -1857,7 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_digests": _simhash_digests_sql(),
         "simhash_hamming_pairs": _simhash_hamming_sql(),
         "neardup_components": _neardup_components_sql(),
-        "neardup_components_star": _neardup_components_sql(),
+        "decontamination_hits": _decontamination_sql(),
         "neardup_survivors": f"""
             WITH comp AS ({_neardup_components_sql()})
             SELECT CAST(component AS BIGINT) AS doc_id,

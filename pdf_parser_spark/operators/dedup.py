@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_incremental",
     "ngram_jaccard_pairs",
+    "decontamination_hits",
     "simhash",
     "simhash64_chunks",
     "simhash_hamming_pairs",
@@ -284,6 +285,61 @@ def minhash_lsh_pairs_incremental(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_new", "id_corpus", "jaccard")
         .orderBy("id_new", "id_corpus")
+    )
+
+
+def decontamination_hits(
+    corpus_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any k-word
+    n-gram with an eval-set document — the pre-training hygiene join every
+    production pipeline runs before an eval suite's results mean anything
+    (the GPT-3/PaLM appendix procedure: 13-gram overlap against the
+    benchmark). r04 verdict task #4.
+
+    Returns (corpus_id, eval_id, n_matched, eval_frac) ordered, where
+    n_matched counts DISTINCT shared k-grams and eval_frac = n_matched /
+    |eval doc's k-grams| (how much of the eval doc leaks — 1.0 means the
+    whole prompt is in the corpus). ``min_overlap`` is the standard
+    single-collision trigger; raise it to tolerate boilerplate n-grams.
+
+    Plan shape (the 100 TB concern): the corpus side is a pure flatMap
+    shingle stream — never shuffled, never collected; the EVAL side is
+    small by construction (an eval suite is KBs-MBs), so its distinct
+    shingle table is broadcast and the join runs map-side at scan speed.
+    The only shuffle is the groupBy on (corpus_id, eval_id) over matched
+    rows — a set that is empty for a clean corpus. This is the
+    ``minhash_lsh_pairs_incremental`` batch-vs-corpus shape with the roles
+    flipped: the big side streams, the small side broadcasts.
+    """
+    ev = (
+        shingles(eval_docs, text_col, id_col, k)
+        .withColumnsRenamed({"id": "eval_id"})
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(track)
+    )  # feeds the broadcast join AND the per-eval-doc denominator
+    cs = _shingle_stream(corpus_docs, text_col, id_col, k).withColumnsRenamed(
+        {"id": "corpus_id"}
+    )
+    matched = cs.join(F.broadcast(ev), "shingle").groupBy(
+        "corpus_id", "eval_id"
+    ).agg(F.count_distinct("shingle").alias("n_matched"))
+    ev_counts = ev.groupBy("eval_id").agg(F.count("*").alias("n_eval"))
+    return (
+        matched.join(F.broadcast(ev_counts), "eval_id")
+        .filter(F.col("n_matched") >= min_overlap)
+        .select(
+            "corpus_id",
+            "eval_id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+            F.round(F.col("n_matched") / F.col("n_eval"), 6).alias("eval_frac"),
+        )
+        .orderBy("corpus_id", "eval_id")
     )
 
 

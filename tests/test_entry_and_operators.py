@@ -674,3 +674,49 @@ def test_pii_signals_match_duckdb(spark):
     for row in res.fetchall():
         d = dict(zip(duck_cols, row))
         assert spark_rows[d["doc_id"]] == tuple(d[c] for c in duck_cols), d
+
+
+def test_decontamination_planted_hits_and_clean_misses(spark):
+    """A corpus doc containing an eval 13-gram is flagged with the right
+    overlap fraction; word-reversed eval docs never match; a fully-leaked
+    eval doc reports eval_frac = 1.0."""
+    from pdf_parser_spark.operators import dedup
+
+    w = [f"word{i}" for i in range(40)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(w)),                      # source of the leak
+            (2, " ".join(f"other{i}" for i in range(40))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, " ".join(w[10:40])),             # 30-word window of doc 1
+            (101, " ".join(reversed(w))),          # reversed: no match
+            (102, " ".join(w[0:13])),              # exactly one 13-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["corpus_id"], r["eval_id"]): r
+        for r in dedup.decontamination_hits(corpus, evals, k=13).collect()
+    }
+    assert set(rows) == {(1, 100), (1, 102)}
+    assert rows[(1, 100)]["n_matched"] == 30 - 13 + 1
+    assert rows[(1, 100)]["eval_frac"] == 1.0
+    assert rows[(1, 102)]["n_matched"] == 1
+    assert rows[(1, 102)]["eval_frac"] == 1.0
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """Plan pin: the eval shingle table must broadcast (the corpus side
+    streams at scan speed; a SortMergeJoin on the shingle would shuffle
+    the whole corpus shingle stream at 100 TB)."""
+    import __spark_entry__ as em
+    from pdf_parser_spark.plans import physical_plan
+
+    spark.catalog.clearCache()
+    plan = physical_plan(em.q_decontamination_hits(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
