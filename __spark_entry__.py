@@ -588,10 +588,15 @@ def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token stats + BPE-ish regex counts (letter/digit/symbol
     runs, ~4-char subword estimate) + the PII scan arm (email/phone/IPv4
-    hit counts, redacted-text md5) in one projection — the former
-    token_stats and subword_token_stats entries merged (registry curation
-    to the driver's 50-row cap; one scan instead of two)."""
-    return text_stats.token_profile(_t(spark, sf_dir, "documents"))
+    hit counts, redacted-text md5) + the EXACT BPE count (broadcast merge
+    table, one mapInPandas crossing — r05; the estimate column stays for
+    comparison) in one scan — the former token_stats and
+    subword_token_stats entries merged (registry curation to the driver's
+    50-row cap)."""
+    enriched = text_stats.with_bpe_token_count(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return text_stats.token_profile(enriched, passthrough=("n_bpe_tokens",))
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,6 +1289,56 @@ ORDER BY members.cell
     )
 
 
+_TOKEN_STATS_BASE_SQL = """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS INTEGER)
+                     AS n_distinct_tokens,
+                   round((length(trim(text))
+                          - (len(string_split_regex(trim(text), ' +')) - 1))
+                         / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
+                     AS avg_token_len,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS INTEGER) AS n_punct,
+                   CAST(list_reduce(list_prepend(0,
+                        list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+                                       w -> (length(w) + 3) // 4)),
+                        (acc, v) -> acc + v) AS INTEGER) AS n_subwords,
+                   -- PII scan arm (text_stats._PII_PATTERNS, same order;
+                   -- DuckDB regexp_replace needs the 'g' flag to match
+                   -- Spark's replace-all semantics)
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INTEGER) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<email>', 'g'),
+                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<phone>', 'g'),
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'))
+                     AS redacted_md5
+            FROM documents
+        """
+
+
+def _token_stats_sql() -> str:
+    """token_stats oracle: the SQL-expressible columns keep their
+    independent DuckDB mirror; the exact-BPE arm joins the golden parquet
+    produced by the single-node kernel (kernels.bpe -- the SAME function
+    the Spark mapInPandas wrapper broadcasts), the K5 two-harness
+    pattern."""
+    return (
+        "WITH base AS (" + _TOKEN_STATS_BASE_SQL + ")\n"
+        "SELECT base.*, bpe.n_bpe_tokens\n"
+        "FROM base JOIN '" + G.ensure_bpe_golden(ORACLE_SF_DIR) + "' bpe\n"
+        "  USING (doc_id)"
+    )
+
+
 def _fingerprint_sql() -> str:
     return """
 WITH toks AS (
@@ -1938,40 +1993,7 @@ def oracle_sql() -> dict[str, str]:
             FROM '{golden}' WHERE turn_idx BETWEEN 1 AND 3
         """,
         "fingerprint48": _fingerprint_sql(),
-        "token_stats": """
-            SELECT doc_id,
-                   CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
-                   CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS INTEGER)
-                     AS n_distinct_tokens,
-                   round((length(trim(text))
-                          - (len(string_split_regex(trim(text), ' +')) - 1))
-                         / greatest(len(string_split_regex(trim(text), ' +')), 1), 6)
-                     AS avg_token_len,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_words,
-                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
-                   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS INTEGER) AS n_punct,
-                   CAST(list_reduce(list_prepend(0,
-                        list_transform(regexp_extract_all(text, '[A-Za-z]+'),
-                                       w -> (length(w) + 3) // 4)),
-                        (acc, v) -> acc + v) AS INTEGER) AS n_subwords,
-                   -- PII scan arm (text_stats._PII_PATTERNS, same order;
-                   -- DuckDB regexp_replace needs the 'g' flag to match
-                   -- Spark's replace-all semantics)
-                   CAST(len(regexp_extract_all(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                        AS INTEGER) AS n_email,
-                   CAST(len(regexp_extract_all(text,
-                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS INTEGER) AS n_phone,
-                   CAST(len(regexp_extract_all(text,
-                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
-                   md5(regexp_replace(regexp_replace(regexp_replace(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                        '<email>', 'g'),
-                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<phone>', 'g'),
-                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ipv4>', 'g'))
-                     AS redacted_md5
-            FROM documents
-        """,
+        "token_stats": _token_stats_sql(),
         "gopher_quality": _gopher_sql("documents"),
         "lang_id_histogram": _lang_sql(),
         "training_pipeline_filter": _training_pipeline_sql(),

@@ -102,6 +102,34 @@ def ensure_golden(sf_dir: str) -> str:
     return _ensure_extraction_golden(sf_dir, "golden", None)
 
 
+def ensure_bpe_golden(sf_dir: str) -> str:
+    """Exact BPE token counts of the documents table by the single-node
+    kernel (kernels.bpe.count_batch — the SAME function the Spark
+    mapInPandas wrapper broadcasts), as (doc_id, n_bpe_tokens). The BPE
+    arm of the token_stats oracle joins this, golden-parquet style; the
+    SQL-expressible columns keep their independent DuckDB mirror."""
+    from .kernels.bpe import count_batch
+
+    path = os.path.join(CACHE_DIR, f"bpe_golden_{sf_tag(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).to_pandas()
+        out = pd.DataFrame(
+            {
+                "doc_id": docs["doc_id"],
+                "n_bpe_tokens": pd.Series(
+                    count_batch(docs["text"]), index=docs.index, dtype="int32"
+                ),
+            }
+        )
+        schema = pa.schema([("doc_id", pa.int64()), ("n_bpe_tokens", pa.int32())])
+        _atomic_write(
+            pa.Table.from_pandas(out, schema=schema, preserve_index=False), path
+        )
+    return path
+
+
 def ensure_golden_fallback(sf_dir: str) -> str:
     """Golden with the fallback replan enabled (cfg.fallback_plain=True)."""
     from .config import ExtractConfig

@@ -17,6 +17,7 @@ __all__ = [
     "quality_score",
     "token_stats",
     "subword_token_stats",
+    "with_bpe_token_count",
     "token_profile",
     "gopher_signal_cols",
     "gopher_pass_col",
@@ -178,13 +179,59 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def with_bpe_token_count(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Append the EXACT BPE token count (kernels.bpe — the committed
+    deterministic merge table) as one Arrow-batched mapInPandas crossing.
+
+    100 TB design: the merge table is a SparkContext broadcast (sent to
+    each executor once, not per task via closure pickling); the kernel
+    memoizes per-word counts within each batch, so the cost is bounded by
+    DISTINCT words per batch, not total tokens. No shuffle — the column
+    rides the scan partitions like the extraction kernel does. This is the
+    slow-but-exact arm next to ``subword_token_stats``' ~4-chars/token
+    estimate (kept for comparison) — a training pipeline budgets with the
+    estimate and PACKS with this count (r04 verdict task #5)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .. import ship_package
+    from ..kernels.bpe import count_batch, default_ranks
+
+    ship_package(docs.sparkSession)
+    bc = docs.sparkSession.sparkContext.broadcast(default_ranks())
+    schema = T.StructType(
+        docs.schema.fields + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(
+                count_batch(pdf[text_col], ranks), index=pdf.index, dtype="int32"
+            )
+            yield pdf
+
+    return docs.mapInPandas(fn, schema)
+
+
 def token_profile(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """token_stats + subword_token_stats in ONE projection — the merged
     registry entry (both operators scan the same table row-wise, so a
     combined select costs one scan instead of two; the standalone operators
-    remain the public API)."""
+    remain the public API). ``passthrough`` names input columns to carry
+    into the output unchanged (e.g. a precomputed ``n_bpe_tokens``)."""
     t = F.col(text_col)
     toks = F.split(F.trim(t), " +")
     words = F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)
@@ -213,6 +260,7 @@ def token_profile(
             expr.alias(name)
             for name, expr in pii_signal_cols(t).items()
         ],
+        *[F.col(c) for c in passthrough],
     )
 
 

@@ -720,3 +720,58 @@ def test_decontamination_broadcasts_eval_side(spark):
     plan = physical_plan(em.q_decontamination_hits(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_kernel_semantics():
+    """The merge loop must reproduce classic BPE: common training words
+    collapse to one token, unseen words stay near character granularity,
+    digit runs count ceil(len/3), symbols one each; training is
+    deterministic (pure function of the embedded fixture)."""
+    from pdf_parser_spark.kernels.bpe import (
+        bpe_token_count,
+        count_batch,
+        default_ranks,
+        train_merges,
+    )
+
+    assert train_merges() == train_merges()
+    r = default_ranks()
+    assert bpe_token_count("the", r) == 1
+    assert bpe_token_count("The", r) == 1          # case-folded
+    assert bpe_token_count("attention", r) == 1
+    assert bpe_token_count("xyzzyq", r) == 6       # unseen: per-char
+    assert bpe_token_count("12345", r) == 2        # ceil(5/3)
+    assert bpe_token_count("!!", r) == 2
+    assert bpe_token_count("", r) == 0
+    # tiny explicit table: merge priority order must matter
+    tiny = {("a", "b"): 0, ("ab", "c"): 1}
+    assert bpe_token_count("abc", tiny) == 1
+    assert bpe_token_count("acb", tiny) == 3
+    # batch path == scalar path
+    texts = ["the quick fox", "attention!", None, ""]
+    assert count_batch(texts, r) == [
+        bpe_token_count(t if isinstance(t, str) else "", r) for t in texts
+    ]
+
+
+def test_bpe_spark_matches_single_node_kernel(spark):
+    """Two-harness parity for the exact-BPE arm: the mapInPandas wrapper
+    (broadcast merge table) must equal the single-node kernel per doc, and
+    the exact count must be bounded by the word-count floor."""
+    import os
+
+    from pdf_parser_spark.kernels.bpe import count_batch
+    from pdf_parser_spark.operators.text_stats import with_bpe_token_count
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in with_bpe_token_count(docs).collect()
+    }
+    pdf = docs.toPandas()
+    want = dict(zip(pdf["doc_id"], count_batch(pdf["text"])))
+    assert got == want
+    assert all(v > 0 for v in got.values())
