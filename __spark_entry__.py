@@ -529,16 +529,29 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms agree with the oracle AND each other. A dedup pipeline
     keeps one doc per COMPONENT — pairs alone under-dedup transitive
     duplicate chains."""
-    docs = _doubled_docs(spark, sf_dir, exact=False)
-    nodes = docs.select(F.col("doc_id").alias("id"))
-    edges = dedup.simhash_hamming_pairs(docs, max_hamming=3, max_bucket=50).select(
-        "id_a", "id_b"
-    )
+    nodes, edges = _neardup_graph(spark, sf_dir)
     lp = dedup.connected_components(nodes, edges)
     star = dedup.connected_components_star(nodes, edges).withColumnRenamed(
         "component", "component_star"
     )
     return lp.join(star, "id").orderBy("id")
+
+
+def _neardup_graph(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) of the Hamming<=3 simhash near-dup graph. Edges are
+    persisted (tracked): both CC algorithms eagerly checkpoint their edge
+    transforms up front, so without the persist the whole banding join
+    would execute once PER algorithm."""
+    from pyspark import StorageLevel
+
+    docs = _doubled_docs(spark, sf_dir, exact=False)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = track(
+        dedup.simhash_hamming_pairs(docs, max_hamming=3, max_bucket=50)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return nodes, edges
 
 
 def _eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,8 +583,11 @@ def q_decontamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final act: keep exactly ONE doc per near-dup
     component (the min id — same first-wins rule as D1), emitting survivor
-    rows with their duplicate count."""
-    comp = q_neardup_components(spark, sf_dir)
+    rows with their duplicate count. Uses label propagation alone — the
+    merged two-algorithm entry exists to pin algorithm agreement, which
+    this query need not re-prove."""
+    nodes, edges = _neardup_graph(spark, sf_dir)
+    comp = dedup.connected_components(nodes, edges)
     return (
         comp.groupBy("component")
         .agg(F.count("*").cast("long").alias("n_members"))

@@ -331,3 +331,17 @@ def test_job_session_isolated_and_inherits_runtime_conf(spark):
         assert s2.sparkContext is spark.sparkContext
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_bpe_count_no_shuffle(spark):
+    """The exact-BPE column must ride the scan partitions (one MapInPandas
+    crossing, ZERO exchanges) — a shuffle ahead of a per-row kernel column
+    would move the payload corpus for nothing."""
+    from pdf_parser_spark.operators.text_stats import with_bpe_token_count
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    plan = physical_plan(with_bpe_token_count(docs))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
