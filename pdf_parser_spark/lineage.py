@@ -19,15 +19,21 @@ Design:
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
 from .config import DEFAULT_CONFIG, ExtractConfig
-from .pipeline import TRANSCRIPT_SPARK_SCHEMA, extract_turns, reassemble
+from .pipeline import TRANSCRIPT_SPARK_SCHEMA, extract_turns
 
-__all__ = ["with_bucket", "committed_buckets", "run_job", "LINEAGE_SCHEMA"]
+__all__ = [
+    "with_bucket",
+    "cluster_by_bucket",
+    "committed_buckets",
+    "run_job",
+    "LINEAGE_SCHEMA",
+]
 
 DEFAULT_BUCKETS = 64
 
@@ -47,6 +53,44 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     )
+
+
+def cluster_by_bucket(
+    extracted: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bucket-aligned reassembly for the WRITE path: one hash exchange on
+    the lineage bucket key serves BOTH the window's clustering and the
+    bucketed output layout — no persist, no sampling pass, single kernel
+    execution.
+
+    ``pipeline.reassemble`` (the standalone path) range-partitions for a
+    globally ordered result, which costs a persist of the full extracted
+    output (RangePartitioner SAMPLES its child) plus an exchange whose
+    ordering the bucketed ``partitionBy("bucket")`` write then destroys
+    anyway. Here the window partitions by ``(bucket, conv_id)`` —
+    semantically identical to ``conv_id`` alone since bucket is a pure
+    function of conv_id — so Catalyst accepts hashpartitioning(bucket) as
+    satisfying the window's required clustering and plans ONE exchange and
+    a partition-local sort (pinned by ``test_cluster_by_bucket_plan``).
+    Measured at x256/local[32] (interleaved 3-pair A/B): wall PARITY with
+    the range shape — at bench scale the persisted output fits RAM, so
+    the sample pass re-reads cheap columnar cache. The win is at
+    production scale, where the range shape's MEMORY_AND_DISK persist
+    materializes the entire extracted corpus (at 100 TB: storage-memory
+    thrash + disk spill purely to feed a boundary sampler) while this
+    shape streams kernel output straight into its single exchange.
+    ``turn_seq`` values are row-for-row identical to ``reassemble``'s
+    (same partition-by set modulo the redundant bucket, same ordering).
+    """
+    bucketed = with_bucket(extracted, n_buckets)
+    if num_partitions:
+        bucketed = bucketed.repartition(num_partitions, "bucket")
+    else:
+        bucketed = bucketed.repartition("bucket")
+    w = Window.partitionBy("bucket", "conv_id").orderBy("turn_idx")
+    return bucketed.withColumn("turn_seq", F.row_number().over(w))
 
 
 def committed_buckets(
@@ -84,6 +128,12 @@ def run_job(
     Runs under a per-job session (``pipeline.job_session``): the scan
     sizing and the dynamic-overwrite mode live in the job's own SQLConf,
     so the caller's session is never mutated.
+
+    Reassembly is bucket-aligned (``cluster_by_bucket``): one hash
+    exchange on the lineage bucket key serves the window AND the bucketed
+    write — the standalone ``pipeline.reassemble`` range shape would add
+    a persist + sampling pass for a global order the ``partitionBy``
+    write discards anyway.
     """
     from .pipeline import job_session, scan_plan
 
@@ -98,8 +148,7 @@ def run_job(
     todo = turns.join(F.broadcast(done), "bucket", "left_anti")
 
     extracted = extract_turns(todo.drop("bucket"), cfg, salt=salt)
-    result = reassemble(extracted, num_partitions)
-    result = with_bucket(result, n_buckets)
+    result = cluster_by_bucket(extracted, n_buckets, num_partitions)
 
     result.write.mode("overwrite").partitionBy("bucket").parquet(output_path)
 

@@ -102,3 +102,53 @@ def test_failure_counts_in_lineage(spark, transcripts_parquet, dirs):
     assert total_failures == actual_errors
     # partition_hash is deterministic per (snapshot, bucket)
     assert lin.select("partition_hash").distinct().count() == lin.count()
+
+
+def test_cluster_by_bucket_plan(spark, transcripts_parquet):
+    """The write path's reassembly must plan ONE exchange
+    (hashpartitioning on bucket), no persist, and only a partition-local
+    sort for the window — the bucket-aligned shape that reuses the output
+    layout's exchange and never materializes the extracted corpus (the
+    range shape persists it in full just to feed the boundary sampler —
+    bench-scale parity, production-scale storage win)."""
+    from pdf_parser_spark.lineage import cluster_by_bucket
+    from pdf_parser_spark.pipeline import extract_turns
+
+    spark.catalog.clearCache()
+    out = cluster_by_bucket(
+        extract_turns(spark.read.parquet(transcripts_parquet)), 8, 4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith(("(", "+", ":"))
+        and "Exchange" in l
+    )
+    assert n_exchange == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
+
+
+def test_cluster_by_bucket_turn_seq_matches_reassemble(spark, transcripts_parquet):
+    """Row-for-row turn_seq equality with the standalone range-shape
+    reassembly: partitioning the window by (bucket, conv_id) is
+    semantically identical to conv_id alone (bucket is a pure function of
+    conv_id)."""
+    from pdf_parser_spark.lineage import cluster_by_bucket
+    from pdf_parser_spark.pipeline import extract_turns, reassemble
+
+    spark.catalog.clearCache()
+    raw = spark.read.parquet(transcripts_parquet)
+    a = {
+        (r["conv_id"], r["turn_idx"]): r["turn_seq"]
+        for r in cluster_by_bucket(extract_turns(raw), 8, 4)
+        .select("conv_id", "turn_idx", "turn_seq")
+        .collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): r["turn_seq"]
+        for r in reassemble(extract_turns(raw), 4)
+        .select("conv_id", "turn_idx", "turn_seq")
+        .collect()
+    }
+    assert a == b and len(a) == 500
+    spark.catalog.clearCache()
