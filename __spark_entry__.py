@@ -46,8 +46,28 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness sf
 SEP = "\x1f"
 
 
+# Per-row-compute-heavy tables (shingling, hashing, regex cascades, vector
+# kernels run at scan speed over these). Parquet scan parallelism is bounded
+# by row-group count; at bench scale each is ONE sub-MB file = one row group
+# = one task, serializing the whole map side on a single core. The same
+# balancing policy the extraction path uses (pipeline.scan_plan) applies:
+# when even floor-sized splits cannot fill one wave, ONE explicit
+# repartition beats 31 idle cores; at production scale scan_plan returns
+# salt=False by construction and the read stays shuffle-free.
+_PAYLOAD_TABLES = frozenset({"documents", "embeddings"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(p)
+    if name in _PAYLOAD_TABLES:
+        from pdf_parser_spark.pipeline import scan_plan
+
+        cpus = spark.sparkContext.defaultParallelism
+        _split, salt = scan_plan(p, cpus)
+        if salt:
+            df = df.repartition(cpus)
+    return df
 
 
 def _cents(col) -> Column:
